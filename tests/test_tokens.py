@@ -1,0 +1,37 @@
+"""Vision-token formula vs the reference mode table (FIXTURES.md §3b;
+reference README R:190-197, vllm/deepseek_ocr.py:95-106)."""
+
+from deepseek_ocr_spark.kernels.tokens import grid_side, num_text_tokens, num_vision_tokens
+
+
+def test_grid_sides():
+    assert grid_side(512) == 8
+    assert grid_side(640) == 10
+    assert grid_side(1024) == 16
+    assert grid_side(1280) == 20
+
+
+def test_mode_table_grid_tokens():
+    # R:192-195: grid tokens = side^2
+    assert grid_side(512) ** 2 == 64
+    assert grid_side(640) ** 2 == 100
+    assert grid_side(1024) ** 2 == 256
+    assert grid_side(1280) ** 2 == 400
+
+
+def test_full_sequence_counts():
+    # base=1024 global only: 16*17 + 1 = 273 (FIXTURES.md §3b)
+    assert num_vision_tokens(1, 1, base_size=1024, image_size=640) == 273
+    # Gundam (2,2): + (2*10)*(2*10+1) = 420
+    assert num_vision_tokens(2, 2, base_size=1024, image_size=640) == 273 + 420
+    # (2,1): + (1*10)*(2*10+1) = 210
+    assert num_vision_tokens(2, 1, base_size=1024, image_size=640) == 273 + 210
+    # tiny 512 no crop: 8*9+1 = 73
+    assert num_vision_tokens(1, 1, base_size=512, image_size=512) == 73
+
+
+def test_text_tokens_proxy():
+    assert num_text_tokens("") == 0
+    assert num_text_tokens("hello world") == 2
+    assert num_text_tokens("a, b!") == 4  # a , b !
+    assert num_text_tokens("x1y2") == 1
