@@ -1,0 +1,75 @@
+"""spark-submit entry point (north_rule: ``spark-submit --py-files``).
+
+Usage:
+    spark-submit --py-files deepseek_ocr_spark.zip \
+        deepseek_ocr_spark/jobs/run_extract.py \
+        --input /path/to/documents.parquet --output /path/to/out \
+        [--mode pdf|eval|image] [--resume] [--n-docs 2000]
+
+Without --input, generates the synthetic corpus (--n-docs) in-session.
+Writes extracted/ + _manifest/ (checkpoint) + metrics/ + lineage/ under
+--output; with --resume, already-manifested urls are anti-joined away.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mode", default="pdf", choices=["pdf", "eval", "image"])
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--n-docs", type=int, default=2000)
+    ap.add_argument("--attempt", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from deepseek_ocr_spark.config import EngineConfig
+    from deepseek_ocr_spark.pipeline import checkpoint as ckpt
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+    from deepseek_ocr_spark.pipeline.metrics import lineage_table, metrics_table
+    from deepseek_ocr_spark.pipeline.session import build_session
+
+    spark = build_session(app_name="run-extract")
+    t0 = time.time()
+
+    if args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        from deepseek_ocr_spark.datagen.synth import gen_documents
+
+        docs = spark.createDataFrame(
+            gen_documents(args.n_docs),
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    if args.resume:
+        docs = ckpt.pending_documents(docs, args.output)
+
+    cfg = EngineConfig(mode=args.mode)
+    extracted = extract_documents(docs, cfg)
+    ckpt.commit_run(extracted, args.output, attempt=args.attempt)
+
+    final = ckpt.read_extracted_deduped(spark, args.output)
+    metrics_table(final).write.mode("overwrite").parquet(
+        os.path.join(args.output, "metrics")
+    )
+    lineage_table(final).write.mode("overwrite").parquet(
+        os.path.join(args.output, "lineage")
+    )
+
+    n = final.count()
+    pages = final.agg({"n_pages": "sum"}).collect()[0][0] or 0
+    dt = time.time() - t0
+    print(f"extracted {n} docs / {pages} pages in {dt:.1f}s ({pages / dt:.1f} pages/s)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

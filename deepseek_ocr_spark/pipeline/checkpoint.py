@@ -1,0 +1,72 @@
+"""Resumable checkpointing + lineage (north_rule requirement; SURVEY.md §4.3-4.4).
+
+The reference has no resume story (a killed run re-OCRs everything); this is
+new engineering mandated by the north_rule: a manifest table of completed
+work, restart = left-anti join, idempotent replay.
+
+Model:
+- each run appends ``extracted`` rows partitioned by ``run_id`` and appends a
+  manifest of ``(url, digest, partition_id, attempt, completed_ts)``;
+- on restart, ``pending = docs.join(manifest, 'url', 'left_anti')`` — only
+  unfinished urls are reprocessed (the anti-join is the O-22 note in
+  SURVEY.md §2.4);
+- replay is idempotent because the kernel is deterministic: a url processed
+  twice produces the same digest, and readers dedupe by
+  ``row_number() over (partition by url order by completed_ts desc) = 1``.
+
+On a real cluster this maps to Iceberg snapshot/WAP semantics; in the
+sandbox it is plain Parquet appends (atomic per Spark job commit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def manifest_path(base: str) -> str:
+    return os.path.join(base, "_manifest")
+
+
+def extracted_path(base: str) -> str:
+    return os.path.join(base, "extracted")
+
+
+def read_manifest(spark: SparkSession, base: str) -> DataFrame | None:
+    p = manifest_path(base)
+    try:
+        return spark.read.parquet(p)
+    except Exception:
+        return None
+
+
+def pending_documents(docs: DataFrame, base: str) -> DataFrame:
+    """Restart filter: drop urls already in the manifest (left-anti join)."""
+    manifest = read_manifest(docs.sparkSession, base)
+    if manifest is None:
+        return docs
+    return docs.join(manifest.select("url"), "url", "left_anti")
+
+
+def commit_run(extracted: DataFrame, base: str, attempt: int = 0) -> None:
+    """Append results + manifest. Job-level atomicity: the manifest append
+    happens only after the extracted append commits, so a crash between the
+    two re-runs those urls (idempotent — same bytes, deduped on read)."""
+    out = extracted.withColumn("partition_id", F.spark_partition_id()).withColumn(
+        "attempt", F.lit(attempt)
+    ).withColumn("completed_ts", F.current_timestamp())
+    out.write.mode("append").parquet(extracted_path(base))
+    out.select("url", "digest", "partition_id", "attempt", "completed_ts").write.mode(
+        "append"
+    ).parquet(manifest_path(base))
+
+
+def read_extracted_deduped(spark: SparkSession, base: str) -> DataFrame:
+    """Reader-side dedupe: latest attempt per url wins."""
+    df = spark.read.parquet(extracted_path(base))
+    win = Window.partitionBy("url").orderBy(
+        F.col("completed_ts").desc(), F.col("attempt").desc()
+    )
+    return df.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") == 1).drop("_rn")

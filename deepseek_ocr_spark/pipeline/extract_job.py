@@ -1,0 +1,401 @@
+"""The distributed extraction plan — the engine's flagship job.
+
+Re-expresses the reference batch entry points (run_dpsk_ocr_eval_batch.py /
+run_dpsk_ocr_pdf.py end-to-end flow, SURVEY.md §3) as one Spark DataFrame
+plan over ``documents(url, warc_ts, html, text, lang)``:
+
+  scan (column-pruned: url+html only)
+    → mapInPandas page split                 [O-2 fan-out, cheap parse]
+    → explicit hash repartition on page key  [skew spread: an oversized
+       40-page doc's pages land on 40 partitions, not 1 — AQE cannot fix
+       UDF-stage skew, so this is explicit; SURVEY.md §4.1]
+    → tile plan as a zero-shuffle fold expression over the 17-candidate
+      literal array [O-10/O-11; the broadcast-join+window formulation lives
+      in operators/tiling_relational.py and is verified to agree]
+    → vision-token column expression          [O-13]
+    → iterator pandas UDF extraction          [O-38 analog: per-executor
+       kernel singleton, Arrow micro-batches = continuous batching]
+    → relational EOS keep-flag + strip        [O-19/O-33: contains + replace]
+    → ordered per-url assembly aggregation    [O-24: array_sort(collect_list)
+       of when(keep, …) — conditional collect drops SKIP_REPEAT pages AND
+       keeps all-dropped urls, so no all-urls join is ever needed]
+    → doc-level finalize UDF                  [O-26/O-27 jdx ordinals +
+       O-30…O-36 cascade + span parse + token count, one pass per doc]
+    → metrics / lineage columns               [O-25]
+
+Shuffle budget — exactly TWO exchanges end-to-end (verified via
+executedPlan): the explicit repartition by page key (skew spread; the
+fold-expression tile plan costs zero) and the single url shuffle of the
+assembly groupBy. No windows, no joins, one ArrowEvalPython for the kernel
+(a filter on the UDF column would have doubled it — hence the keep-flag
+design). Projection (url, html) prunes at the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepseek_ocr_spark.config import (
+    BASE_SIZE,
+    EOS_TOKEN,
+    IMAGE_SIZE,
+    EngineConfig,
+    DEFAULT_CONFIG,
+)
+from deepseek_ocr_spark.kernels.tiling import candidate_ratios
+from deepseek_ocr_spark.operators.tiling_relational import vision_tokens_col
+
+# ---------------------------------------------------------------------------
+# Stage 1 — page split (mapInPandas; cheap, streaming)
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("page_html", T.StringType()),
+        T.StructField("degenerate", T.BooleanType()),
+    ]
+)
+
+
+def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from deepseek_ocr_spark.kernels.extract import split_pages
+
+    for pdf in batches:
+        out = {k: [] for k in ("url", "page_no", "width", "height", "page_html", "degenerate")}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            if isinstance(html, (bytes, bytearray, memoryview)):
+                html = bytes(html).decode("utf-8", errors="replace")
+            for rec in split_pages(html):
+                out["url"].append(url)
+                out["page_no"].append(rec.page_no)
+                out["width"].append(rec.width)
+                out["height"].append(rec.height)
+                out["page_html"].append(rec.html)
+                out["degenerate"].append(rec.degenerate)
+        yield pd.DataFrame(out)
+
+
+def split_to_pages(docs: DataFrame) -> DataFrame:
+    """documents → one row per page (the PDF-render fan-out analog,
+    reference pdf.py:64-95)."""
+    return docs.select("url", "html").mapInPandas(_split_batches, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — tile plan as a zero-shuffle fold over the candidate literal array
+# ---------------------------------------------------------------------------
+
+
+def tile_plan_expr(width: Column, height: Column, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
+    """(nw, nh) via ``F.aggregate`` over the 17-candidate array — the
+    reference argmin scan (image_process.py:11-25) translated literally into
+    a whole-stage-codegen fold: no shuffle, no UDF, no join.
+
+    Returns struct(nw, nh).
+    """
+    cands = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for (i, j) in candidate_ratios(cfg.min_crops, cfg.max_crops)
+        ]
+    )
+    aspect = width.cast("double") / height.cast("double")
+    area = (width * height).cast("double")
+    half_sq = F.lit(0.5 * cfg.image_size * cfg.image_size)
+
+    def step(acc, c):
+        diff = F.abs(aspect - c["i"].cast("double") / c["j"].cast("double"))
+        better = diff < acc["diff"]
+        tie_takes = (diff == acc["diff"]) & (area > half_sq * c["i"] * c["j"])
+        return F.when(
+            better | tie_takes,
+            F.struct(diff.alias("diff"), c["i"].alias("nw"), c["j"].alias("nh")),
+        ).otherwise(acc)
+
+    folded = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(float("inf")).alias("diff"),
+            F.lit(1).alias("nw"),
+            F.lit(1).alias("nh"),
+        ),
+        step,
+    )
+    bypass = (width <= cfg.image_size) & (height <= cfg.image_size)
+    if not cfg.crop_mode:
+        bypass = F.lit(True)
+    return F.when(
+        bypass, F.struct(F.lit(1).alias("nw"), F.lit(1).alias("nh"))
+    ).otherwise(F.struct(folded["nw"].alias("nw"), folded["nh"].alias("nh")))
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — extraction kernel (iterator pandas UDF, per-executor singleton)
+# ---------------------------------------------------------------------------
+
+_KERNEL = None  # per-Python-worker singleton (the one-replica-per-executor pattern)
+
+
+def _get_kernel():
+    global _KERNEL
+    if _KERNEL is None:
+        # the deterministic kernel has no weights to load; the singleton
+        # pattern is kept so a real model drop-in initializes once per worker
+        from deepseek_ocr_spark.kernels import extract as kernel_mod
+
+        _KERNEL = kernel_mod
+    return _KERNEL
+
+
+@F.pandas_udf(T.StringType())
+def extract_raw_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+    """page struct(page_html, page_no, width, height, degenerate) → raw
+    grounded markdown. Iterator-of-batches form: Arrow micro-batches are the
+    continuous-batching analog (reference max_num_seqs, config.py:13)."""
+    kernel = _get_kernel()
+    PageRecord = kernel.PageRecord
+    for pdf in it:
+        yield pd.Series(
+            [
+                kernel.extract_page(
+                    PageRecord(
+                        page_no=int(pn),
+                        width=int(w),
+                        height=int(h),
+                        html=ph,
+                        degenerate=bool(dg),
+                    )
+                )
+                for pn, w, h, ph, dg in zip(
+                    pdf["page_no"], pdf["width"], pdf["height"],
+                    pdf["page_html"], pdf["degenerate"],
+                )
+            ]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Stage 4 — per-page cascade + span parse (pandas UDF → struct)
+# ---------------------------------------------------------------------------
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("label", T.StringType()),
+            T.StructField("x1", T.IntegerType()),
+            T.StructField("y1", T.IntegerType()),
+            T.StructField("x2", T.IntegerType()),
+            T.StructField("y2", T.IntegerType()),
+            T.StructField("ord", T.IntegerType()),
+        ]
+    )
+)
+
+CLEAN_TYPE = T.StructType(
+    [T.StructField("clean", T.StringType()), T.StructField("spans", SPAN_TYPE)]
+)
+
+
+def make_clean_udf(mode: str):
+    @F.pandas_udf(CLEAN_TYPE)
+    def clean_udf(content: pd.Series, jdx: pd.Series) -> pd.DataFrame:
+        from deepseek_ocr_spark.kernels import postprocess as pp
+
+        cleans, spans_col = [], []
+        for text, j in zip(content, jdx):
+            spans = [
+                (s["label"], s["x1"], s["y1"], s["x2"], s["y2"], s["ord"])
+                for s in pp.parse_spans(text)
+            ]
+            if mode == "eval":
+                cleans.append(pp.clean_page_eval(text))
+            elif mode == "image":
+                cleans.append(pp.clean_page_image(text))
+            else:
+                cleans.append(pp.clean_page_pdf(text, int(j)))
+            spans_col.append(spans)
+        return pd.DataFrame({"clean": cleans, "spans": spans_col})
+
+    return clean_udf
+
+
+@F.pandas_udf(T.LongType())
+def text_tokens_udf(text: pd.Series) -> pd.Series:
+    from deepseek_ocr_spark.kernels.tokens import num_text_tokens
+
+    return text.map(num_text_tokens).astype("int64")
+
+
+DOC_SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("label", T.StringType()),
+            T.StructField("x1", T.IntegerType()),
+            T.StructField("y1", T.IntegerType()),
+            T.StructField("x2", T.IntegerType()),
+            T.StructField("y2", T.IntegerType()),
+            T.StructField("page_no", T.IntegerType()),
+            T.StructField("ord", T.IntegerType()),
+        ]
+    )
+)
+
+FINALIZE_TYPE = T.StructType(
+    [
+        T.StructField("raw_text", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("spans", DOC_SPAN_TYPE),
+        T.StructField("n_text_tokens", T.LongType()),
+    ]
+)
+
+
+def make_finalize_udf(mode: str):
+    """Doc-level finalize: kept pages (already page-ordered) → cascade per
+    page with jdx = position (pdf.py:285-320), assembly with the page
+    separator, span parse, text-token count. Mirrors the oracle loop
+    exactly — same kernel functions, same iteration order."""
+
+    @F.pandas_udf(FINALIZE_TYPE)
+    def finalize_udf(kept_pages: pd.Series) -> pd.DataFrame:
+        from deepseek_ocr_spark.kernels import postprocess as pp
+        from deepseek_ocr_spark.kernels.tokens import num_text_tokens
+
+        raw_out, text_out, spans_out, ntt_out = [], [], [], []
+        for pages in kept_pages:
+            raw_parts, clean_parts, spans = [], [], []
+            for jdx, page in enumerate(pages if pages is not None else []):
+                content = page["content"]
+                raw_parts.append(content)
+                for s in pp.parse_spans(content):
+                    spans.append(
+                        (
+                            s["label"], s["x1"], s["y1"], s["x2"], s["y2"],
+                            int(page["page_no"]), s["ord"],
+                        )
+                    )
+                if mode == "eval":
+                    clean_parts.append(pp.clean_page_eval(content))
+                elif mode == "image":
+                    clean_parts.append(pp.clean_page_image(content))
+                else:
+                    clean_parts.append(pp.clean_page_pdf(content, jdx))
+            text = pp.assemble_pages(clean_parts)
+            raw_out.append(pp.assemble_pages(raw_parts))
+            text_out.append(text)
+            spans_out.append(spans)
+            ntt_out.append(num_text_tokens(text))
+        return pd.DataFrame(
+            {
+                "raw_text": raw_out,
+                "text": text_out,
+                "spans": spans_out,
+                "n_text_tokens": pd.Series(ntt_out, dtype="int64"),
+            }
+        )
+
+    return finalize_udf
+
+
+# ---------------------------------------------------------------------------
+# The full plan
+# ---------------------------------------------------------------------------
+
+
+def extract_documents(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    page_partitions: int | None = None,
+) -> DataFrame:
+    """documents → extracted(url, text, raw_text, spans, n_pages,
+    n_vision_tokens, n_text_tokens, compression_ratio, digest).
+
+    Byte-identical per url to ``oracle.runner.extract_url`` (pytest gate).
+    """
+    spark = docs.sparkSession
+
+    pages = split_to_pages(docs)
+    if page_partitions is None:
+        page_partitions = spark.sparkContext.defaultParallelism
+    # explicit skew spread: pages of one huge doc scatter across the cluster
+    pages = pages.repartition(page_partitions, "url", "page_no")
+
+    plan = tile_plan_expr(F.col("width"), F.col("height"), cfg)
+    pages = pages.withColumn("nw", plan["nw"]).withColumn("nh", plan["nh"])
+    pages = pages.withColumn(
+        "vis_tokens", vision_tokens_col(F.col("nw"), F.col("nh"), cfg.base_size, cfg.image_size)
+    )
+
+    pages = pages.withColumn(
+        "raw",
+        extract_raw_udf(
+            F.struct("page_no", "width", "height", "page_html", "degenerate")
+        ),
+    ).drop("page_html", "degenerate")
+
+    # O-19 SKIP_REPEAT gate as a flag, not a filter: a filter directly on a
+    # Python-UDF column makes Catalyst evaluate the UDF twice (once for the
+    # predicate, once for the projection — observed as two ArrowEvalPython
+    # nodes). The flag rides into the aggregation instead; conditional
+    # collect (when(keep, ...) → NULL → dropped by collect_list) both
+    # excludes dropped pages and keeps all-dropped urls in the output with
+    # empty text — zero extra joins, zero re-evaluation.
+    keep = F.col("raw").contains(F.lit(EOS_TOKEN)) if cfg.skip_repeat else F.lit(True)
+    pages = pages.withColumn("keep", keep).withColumn(
+        "content", F.replace(F.col("raw"), F.lit(EOS_TOKEN), F.lit(""))
+    )
+
+    # O-24/O-26/O-27 in ONE url-shuffle: sort-agg the kept pages in page
+    # order; the kept-page ordinal jdx (pdf.py:285,320), the per-page cascade
+    # (O-30…O-36), assembly, and text-token count all happen in a single
+    # doc-level finalize UDF over the collected array — page order is already
+    # restored inside the aggregate, so no separate window pass (and no
+    # second url exchange: ArrowEvalPython between a window and a groupBy
+    # would forget the hash partitioning and force one).
+    assembled = pages.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.struct("page_no", "content")))
+        ).alias("kept_pages"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_pages"),
+        F.sum(F.when(F.col("keep"), F.col("vis_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_vision_tokens"),
+    )
+
+    fin = make_finalize_udf(cfg.mode)
+    result = (
+        assembled.withColumn("fin", fin(F.col("kept_pages")))
+        .select(
+            "url",
+            F.col("fin.raw_text").alias("raw_text"),
+            F.col("fin.text").alias("text"),
+            F.col("fin.spans").alias("spans"),
+            "n_pages",
+            "n_vision_tokens",
+            F.col("fin.n_text_tokens").alias("n_text_tokens"),
+        )
+    )
+    result = result.withColumn(
+        "compression_ratio",
+        F.when(
+            F.col("n_vision_tokens") > 0,
+            F.col("n_text_tokens").cast("double") / F.col("n_vision_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+    result = result.withColumn("digest", F.sha2(F.encode(F.col("text"), "UTF-8"), 256))
+    return result
+
+
+def _page_sep() -> str:
+    from deepseek_ocr_spark.config import PAGE_SEP
+
+    return PAGE_SEP

@@ -1,0 +1,44 @@
+"""Per-partition metrics / compression accounting (SURVEY.md O-25, FIXTURES.md §2).
+
+The reference's only metric surface is PRINT_NUM_VIS_TOKENS / the paper's
+compression-ratio claim (config.py:15, R:37-38); the north_rule upgrades it
+to a first-class per-partition metrics table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def size_bucket_col(n_pages) -> F.Column:
+    """Doc size classes mirroring the corpus skew (FIXTURES.md §1)."""
+    return (
+        F.when(n_pages <= 1, "small")
+        .when(n_pages <= 4, "medium")
+        .when(n_pages <= 12, "large")
+        .otherwise("oversized")
+    )
+
+
+def metrics_table(extracted: DataFrame) -> DataFrame:
+    """extracted → metrics(bucket, n_docs, n_pages, vision_tokens,
+    text_tokens, avg_compression_ratio)."""
+    return (
+        extracted.withColumn("bucket", size_bucket_col(F.col("n_pages")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pages").cast("bigint").alias("n_pages"),
+            F.sum("n_vision_tokens").cast("bigint").alias("vision_tokens"),
+            F.sum("n_text_tokens").cast("bigint").alias("text_tokens"),
+            F.avg("compression_ratio").alias("avg_compression_ratio"),
+        )
+    )
+
+
+def lineage_table(extracted: DataFrame) -> DataFrame:
+    """extracted → lineage(url, partition_id, digest) (FIXTURES.md §2)."""
+    return extracted.select(
+        "url", F.spark_partition_id().alias("partition_id"), "digest"
+    )

@@ -1,0 +1,43 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Tuned for the 100 TB target even though the sandbox runs local[*]:
+AQE on (runtime coalescing + skew-join splitting), Arrow batching sized so
+the Python kernel stage sees real micro-batches (the continuous-batching
+analog of the reference's max_num_seqs=100, vllm/config.py:13).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "deepseek-ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # micro-batch size for iterator pandas UDFs — the max_num_seqs analog
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # 128 MB scan splits: sane parquet split size at cluster scale
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

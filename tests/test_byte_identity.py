@@ -1,0 +1,93 @@
+"""THE correctness gate (SURVEY.md §5.2.2, BASELINE.md): the distributed
+Spark plan must produce byte-identical text/raw_text per url vs the
+single-node oracle, including SKIP_REPEAT page drops, page ordering, jdx
+ordinals, vision-token sums, and span lists."""
+
+import pytest
+
+from deepseek_ocr_spark.datagen.synth import gen_documents
+from deepseek_ocr_spark.oracle.runner import run_oracle
+from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+
+
+@pytest.fixture(scope="module")
+def spark_vs_oracle(spark, docs_df):
+    rows = gen_documents(60)
+    oracle = {r["url"]: r for r in run_oracle(rows)}
+    got = {r["url"]: r.asDict(recursive=True) for r in extract_documents(docs_df).collect()}
+    return oracle, got
+
+
+def test_all_urls_present(spark_vs_oracle):
+    oracle, got = spark_vs_oracle
+    assert set(got) == set(oracle)
+
+
+def test_text_byte_identical(spark_vs_oracle):
+    oracle, got = spark_vs_oracle
+    mismatch = [u for u in oracle if got[u]["text"] != oracle[u]["text"]]
+    assert mismatch == [], f"text mismatch for {mismatch[:3]}: got={got[mismatch[0]]['text'][:200]!r} want={oracle[mismatch[0]]['text'][:200]!r}"
+
+
+def test_raw_text_byte_identical(spark_vs_oracle):
+    oracle, got = spark_vs_oracle
+    mismatch = [u for u in oracle if got[u]["raw_text"] != oracle[u]["raw_text"]]
+    assert mismatch == []
+
+
+def test_digest_matches(spark_vs_oracle):
+    oracle, got = spark_vs_oracle
+    for u in oracle:
+        assert got[u]["digest"] == oracle[u]["digest"]
+
+
+def test_counters_match(spark_vs_oracle):
+    oracle, got = spark_vs_oracle
+    for u in oracle:
+        assert got[u]["n_pages"] == oracle[u]["n_pages"], u
+        assert got[u]["n_vision_tokens"] == oracle[u]["n_vision_tokens"], u
+        assert got[u]["n_text_tokens"] == oracle[u]["n_text_tokens"], u
+
+
+def test_spans_match(spark_vs_oracle):
+    oracle, got = spark_vs_oracle
+    for u in oracle:
+        want = [
+            (s["label"], s["x1"], s["y1"], s["x2"], s["y2"], s["page_no"], s["ord"])
+            for s in oracle[u]["spans"]
+        ]
+        have = [
+            (s["label"], s["x1"], s["y1"], s["x2"], s["y2"], s["page_no"], s["ord"])
+            for s in got[u]["spans"]
+        ]
+        assert have == want, u
+
+
+def test_tile_plan_expr_agrees_with_kernel(spark):
+    """The zero-shuffle fold expression == the Python kernel on a dim sweep."""
+    from deepseek_ocr_spark.kernels.tiling import tile_plan
+    from deepseek_ocr_spark.pipeline.extract_job import tile_plan_expr
+    from pyspark.sql import functions as F
+
+    dims = [(w, h) for w in range(100, 4100, 379) for h in range(100, 4100, 379)]
+    df = spark.createDataFrame(dims, "width int, height int")
+    plan = tile_plan_expr(F.col("width"), F.col("height"))
+    got = {
+        (r["width"], r["height"]): (r["nw"], r["nh"])
+        for r in df.select("width", "height", plan["nw"].alias("nw"), plan["nh"].alias("nh")).collect()
+    }
+    for w, h in dims:
+        assert got[(w, h)] == tile_plan(w, h), (w, h)
+
+
+def test_relational_tile_plan_agrees_with_kernel(spark):
+    """The broadcast-join+window formulation (O-23) == the Python kernel."""
+    from deepseek_ocr_spark.kernels.tiling import tile_plan
+    from deepseek_ocr_spark.operators.tiling_relational import with_tile_plan
+
+    dims = [(f"k{w}x{h}", w, h) for w in range(150, 4000, 431) for h in range(150, 4000, 431)]
+    df = spark.createDataFrame(dims, "key string, width int, height int")
+    out = with_tile_plan(df, ["key"])
+    got = {r["key"]: (r["nw"], r["nh"]) for r in out.collect()}
+    for key, w, h in dims:
+        assert got[key] == tile_plan(w, h), (w, h)
