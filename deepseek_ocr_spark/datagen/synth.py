@@ -172,3 +172,59 @@ def gen_document(i: int, seed: int = 42) -> dict:
 
 def gen_documents(n_docs: int, seed: int = 42) -> list[dict]:
     return [gen_document(i, seed) for i in range(n_docs)]
+
+
+# ---------------------------------------------------------------------------
+# Driver-table bridge: deterministically wrap the driver's plain-text
+# documents table (doc_id, text, lang, …) into the html-page input shape
+# required by BASELINE.json input_hint. Used by __spark_entry__.entry() and
+# bench.py so the extraction pipeline consumes the DRIVER's parquet as its
+# source of truth at every scale factor.
+# ---------------------------------------------------------------------------
+
+
+def _page_div_from_words(rng: random.Random, page_no: int, words: list[str]) -> str:
+    dims = rng.choice([(620, 620), (1024, 1448), (1920, 1080), (1280, 640), (800, 2400)])
+    w, h = dims
+    attrs = f'class="page" data-page="{page_no}" data-width="{w}" data-height="{h}"'
+    blocks = []
+    y = 10
+    title = " ".join(words[:4]).title() or f"Page {page_no}"
+    blocks.append(f'<h1 data-bbox="{_bbox(rng, y, y + 60)}">{title}</h1>')
+    y += 90
+    body = words[4:]
+    chunk = max(10, len(body) // 3) if body else 0
+    k = 0
+    while k < len(body):
+        para = " ".join(body[k : k + chunk])
+        blocks.append(f'<p data-bbox="{_bbox(rng, y, y + 120)}">{para}</p>')
+        y = min(900, y + 130)
+        k += chunk
+    return f"<div {attrs}>" + "".join(blocks) + "</div>"
+
+
+def driver_row_to_html(doc_id: int, text: str, seed: int = 42) -> bytes:
+    """One driver documents row → deterministic synthetic page HTML.
+
+    Size-skew classes mirror FIXTURES.md (doc_id % 20): 14 single-page,
+    4 medium, 1 large, 1 oversized — so the skew-handling path is exercised
+    at whatever scale factor the driver provides.
+    """
+    rng = _rng(seed, doc_id, "driver")
+    c = doc_id % 20
+    n_pages = 1 if c < 14 else (rng.randint(2, 3) if c < 18 else (6 if c < 19 else 12))
+    words = text.split()
+    per_page = max(1, (len(words) + n_pages - 1) // n_pages)
+    pages = []
+    for p in range(n_pages):
+        prng = _rng(seed, doc_id, f"driverpage{p}")
+        pages.append(_page_div_from_words(prng, p, words[p * per_page : (p + 1) * per_page]))
+    brng = _rng(seed, doc_id, "driverboiler")
+    html = (
+        f'<html><head><title>doc {doc_id}</title></head><body>'
+        + _boilerplate(brng)
+        + "".join(pages)
+        + _footer(brng)
+        + "</body></html>"
+    )
+    return html.encode("utf-8")

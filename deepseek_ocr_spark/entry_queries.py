@@ -1,0 +1,253 @@
+"""Query registry backing ``__spark_entry__`` — one entry per implemented
+operator (SURVEY.md §2 ★ rows + the training-data op families), each with a
+DuckDB oracle SQL unless marked rows-only.
+
+Each callable takes (spark, sf_dir) and returns a DataFrame whose column
+names match the oracle SQL exactly (the driver hashes values under sorted
+column names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.kernels.tokens import grid_side
+from deepseek_ocr_spark.config import BASE_SIZE, IMAGE_SIZE
+from deepseek_ocr_spark.operators import dedup, multimodal, similarity, textops
+from deepseek_ocr_spark.operators.tiling_relational import (
+    tile_plan_sql,
+    vision_tokens_col,
+    with_tile_plan,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# Synthetic page dims derived from doc_id (same formula in SQL) — gives the
+# tile planner a full spread of aspect ratios/areas over driver data.
+_DIMS_SQL = (
+    "SELECT doc_id, 320 + (doc_id*37) % 2240 AS width, "
+    "320 + (doc_id*53) % 2240 AS height FROM documents"
+)
+
+
+def _dims_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(320) + (d * 37) % 2240).cast("int").alias("width"),
+        (F.lit(320) + (d * 53) % 2240).cast("int").alias("height"),
+    )
+
+
+# --- extraction-core relational queries -------------------------------------
+
+
+def q_tile_plan_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-23/O-10/O-11: broadcast cross-join argmin with area tiebreak."""
+    return with_tile_plan(_dims_df(spark, sf_dir), ["doc_id"]).select(
+        "doc_id", "width", "height", "nw", "nh"
+    )
+
+
+Q_TILE_PLAN_SQL = tile_plan_sql(_DIMS_SQL, ["doc_id"])
+
+
+def q_vision_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-13 (+O-18 bypass): vision-token budget as a column expression."""
+    planned = with_tile_plan(_dims_df(spark, sf_dir), ["doc_id"])
+    return planned.select(
+        "doc_id",
+        "nw",
+        "nh",
+        vision_tokens_col(F.col("nw"), F.col("nh")).alias("n_vision_tokens"),
+    )
+
+
+_HG = grid_side(BASE_SIZE)
+_H2 = grid_side(IMAGE_SIZE)
+Q_VISION_TOKENS_SQL = f"""
+WITH planned AS ({tile_plan_sql(_DIMS_SQL, ["doc_id"])})
+SELECT doc_id, nw, nh,
+       CAST({_HG} * {_HG + 1}
+            + CASE WHEN nw > 1 OR nh > 1 THEN (nh * {_H2}) * (nw * {_H2} + 1) ELSE 0 END
+            + 1 AS BIGINT) AS n_vision_tokens
+FROM planned
+"""
+
+
+def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the full distributed extraction pipeline over html pages
+    deterministically derived from the driver documents table (kernel logic —
+    not SQL-expressible; byte-identity vs the oracle is the pytest gate)."""
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+
+    docs = docs_from_driver_table(spark, sf_dir)
+    out = extract_documents(docs)
+    return out.select(
+        "url", "n_pages", "n_vision_tokens", "n_text_tokens", "digest"
+    )
+
+
+def docs_from_driver_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver documents table → input_hint shape (url, warc_ts, html, text,
+    lang) with deterministic synthetic page HTML."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+
+    def to_html(batches):
+        from datetime import datetime, timedelta, timezone
+
+        from deepseek_ocr_spark.datagen.synth import driver_row_to_html
+
+        epoch = datetime(2025, 1, 1, tzinfo=timezone.utc)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [f"doc://{i}" for i in pdf["doc_id"]],
+                    "warc_ts": [epoch + timedelta(seconds=int(i) * 137) for i in pdf["doc_id"]],
+                    "html": [
+                        driver_row_to_html(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return _docs(spark, sf_dir).select("doc_id", "text", "lang").mapInPandas(to_html, schema)
+
+
+# --- registry ----------------------------------------------------------------
+
+# name → (query_fn, oracle_sql_or_None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # extraction-core relational ops (SURVEY.md §2 ★)
+    "tile_plan_argmin": (q_tile_plan_argmin, Q_TILE_PLAN_SQL),
+    "vision_tokens": (q_vision_tokens, Q_VISION_TOKENS_SQL),
+    "eos_filter": (
+        lambda s, d: textops.eos_filter(_docs(s, d)),
+        textops.EOS_FILTER_SQL,
+    ),
+    "ordered_assembly": (
+        lambda s, d: textops.ordered_assembly(_docs(s, d)),
+        textops.ORDERED_ASSEMBLY_SQL,
+    ),
+    "page_ordinals": (
+        lambda s, d: textops.page_ordinals(_docs(s, d)),
+        textops.PAGE_ORDINALS_SQL,
+    ),
+    "metrics_rollup": (
+        lambda s, d: textops.metrics_rollup(_docs(s, d)),
+        textops.METRICS_ROLLUP_SQL,
+    ),
+    "span_extract": (
+        lambda s, d: textops.span_extract(_docs(s, d)),
+        textops.SPAN_EXTRACT_SQL,
+    ),
+    "cleanup_cascade": (
+        lambda s, d: textops.cleanup_cascade(_docs(s, d)),
+        textops.CLEANUP_CASCADE_SQL,
+    ),
+    "bbox_rescale": (
+        lambda s, d: textops.bbox_rescale(_docs(s, d)),
+        textops.BBOX_RESCALE_SQL,
+    ),
+    "anti_join_resume": (
+        lambda s, d: textops.anti_join_resume(_docs(s, d)),
+        textops.ANTI_JOIN_RESUME_SQL,
+    ),
+    "broadcast_dim_join": (
+        lambda s, d: textops.broadcast_dim_join(_docs(s, d), _emb(s, d)),
+        textops.BROADCAST_DIM_JOIN_SQL,
+    ),
+    "events_hourly": (
+        lambda s, d: textops.events_hourly(_events(s, d)),
+        textops.EVENTS_HOURLY_SQL,
+    ),
+    # deduplication family
+    "dedup_exact": (
+        lambda s, d: dedup.dedup_exact(_docs(s, d)),
+        dedup.DEDUP_EXACT_SQL,
+    ),
+    "dedup_minhash_signatures": (
+        lambda s, d: dedup.minhash_signatures(_docs(s, d)),
+        dedup.minhash_sql(),
+    ),
+    "dedup_minhash_pairs": (
+        lambda s, d: dedup.dedup_minhash_pairs(_docs(s, d)),
+        dedup.dedup_minhash_pairs_sql(),
+    ),
+    "dedup_simhash": (
+        lambda s, d: dedup.simhash(_docs(s, d)),
+        dedup.simhash_sql(),
+    ),
+    "dedup_ngram_jaccard": (
+        lambda s, d: dedup.ngram_jaccard_adjacent(_docs(s, d)),
+        dedup.ngram_jaccard_sql(),
+    ),
+    # similarity search
+    "similarity_topk": (
+        lambda s, d: similarity.cosine_topk(_emb(s, d)),
+        similarity.cosine_topk_sql(),
+    ),
+    "similarity_ann_lsh": (
+        lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        similarity.ann_lsh_topk_sql(),
+    ),
+    # text analysis
+    "langid_heuristic": (
+        lambda s, d: textops.langid_heuristic(_docs(s, d)),
+        textops.LANGID_SQL,
+    ),
+    "quality_score": (
+        lambda s, d: textops.quality_score(_docs(s, d)),
+        textops.QUALITY_SQL,
+    ),
+    "token_count": (
+        lambda s, d: textops.token_count(_docs(s, d)),
+        textops.TOKEN_COUNT_SQL,
+    ),
+    "doc_fingerprint": (
+        lambda s, d: textops.doc_fingerprint(_docs(s, d)),
+        textops.doc_fingerprint_sql(),
+    ),
+    # multimodal plumbing (fake decode has an exact oracle)
+    "multimodal_decode": (
+        lambda s, d: multimodal.decode_image_meta(_docs(s, d)),
+        multimodal.DECODE_IMAGE_META_SQL,
+    ),
+    # full pipeline (rows-only; byte-identity gated in pytest instead)
+    "extract_pipeline": (q_extract_pipeline, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,220 @@
+"""Deduplication operator family — training-data-pipeline first-class ops.
+
+Not present in the reference (it processes each page independently), but
+required of a 100 TB web-corpus engine. All four variants are expressed as
+DataFrame plans with shared deterministic hashing (md5 — identical hex in
+Spark and DuckDB, so every operator has an exact relational oracle):
+
+- exact:        groupBy(md5(text)) — one shuffle, survivor = min(doc_id)
+- minhash LSH:  shingle → K minhashes (min over md5(shingle||':'||k)) →
+                band keys → self-join on band — the classic
+                shingle→minhash→band→bucket-join pipeline; candidate pairs
+                only, no O(n²)
+- simhash:      16-bit majority-vote signature from per-token md5 nibbles
+- n-gram Jaccard: banded self-join (adjacent doc_ids) with
+                |A∩B| / |A∪B| over distinct shingles
+
+Scale notes: the explode(shingles) fan-out is linear in corpus tokens; the
+band self-join shuffles on the band key whose cardinality ~ n_docs (no skew
+beyond true near-dup clusters). Survivor selection is a plain min-agg, not a
+window, so partial aggregation applies map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WIDTH = 3
+
+
+def _shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Word 3-gram shingles, one row per (doc, shingle)."""
+    toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("l"))
+    return toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("l") - SHINGLE_WIDTH, F.lit(-1))),
+                lambda i: F.concat_ws(" ", F.slice("l", i + 1, SHINGLE_WIDTH)),
+            )
+        ).alias("shingle"),
+    )
+
+
+def shingles_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB-side shingle expansion (list comprehension + unnest)."""
+    return f"""
+SELECT {id_col}, unnest([ l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                          FOR i IN range(1, greatest(len(l) - {SHINGLE_WIDTH - 2}, 1)) ]) AS shingle
+FROM (SELECT {id_col}, string_split({text_col}, ' ') AS l FROM {table})
+"""
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(text_hash, survivor_doc_id, n_dupes) — exact dedup via hash groupBy."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS survivor_doc_id,
+       count(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+N_MINHASHES = 4
+N_BANDS = 2  # 2 hashes per band
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h3, band0, band1) — K minhashes + banded keys."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}")
+        for k in range(N_MINHASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        *[F.col(f"h{k}") for k in range(N_MINHASHES)],
+        F.md5(F.concat("h0", "h1")).alias("band0"),
+        F.md5(F.concat("h2", "h3")).alias("band1"),
+    )
+
+
+def minhash_sql(table: str = "documents") -> str:
+    hash_cols = ", ".join(
+        f"min(md5(shingle || ':{k}')) AS h{k}" for k in range(N_MINHASHES)
+    )
+    return f"""
+WITH sh AS ({shingles_sql(table)}),
+sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id)
+SELECT doc_id, h0, h1, h2, h3,
+       md5(h0 || h1) AS band0, md5(h2 || h3) AS band1
+FROM sig
+"""
+
+
+def dedup_minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs (a_doc_id < b_doc_id) sharing any LSH band."""
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id", F.explode(F.array("band0", "band1")).alias("band")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_doc_id"), F.col("b.doc_id").alias("b_doc_id"))
+        .distinct()
+    )
+
+
+def dedup_minhash_pairs_sql(table: str = "documents") -> str:
+    return f"""
+WITH sig AS ({minhash_sql(table)}),
+bands AS (
+  SELECT doc_id, band0 AS band FROM sig
+  UNION ALL SELECT doc_id, band1 FROM sig
+)
+SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+SIMHASH_BITS = 16
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 16-bit majority-vote signature over token md5s."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    toks = toks.withColumn("h", F.md5("t"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_sql(table: str = "documents") -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) IN ('1','3','5','7','9','b','d','f') "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM {table}
+),
+votes AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def ngram_jaccard_adjacent(docs: DataFrame) -> DataFrame:
+    """(a_doc_id, b_doc_id, jaccard) for adjacent doc_id pairs — banded
+    pairwise n-gram Jaccard (distinct word 3-grams)."""
+    sh = _shingles(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("b.doc_id") == F.col("a.doc_id") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_doc_id"), F.col("b.doc_id").alias("b_doc_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("a_doc_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_doc_id") == F.col("sb.doc_id"))
+        .select(
+            "a_doc_id",
+            "b_doc_id",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_sql(table: str = "documents") -> str:
+    return f"""
+WITH sh AS (SELECT DISTINCT * FROM ({shingles_sql(table)})),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_doc_id, i.b_doc_id,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.a_doc_id = sa.doc_id
+JOIN sizes sb ON i.b_doc_id = sb.doc_id
+"""

@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (array<float>).
+
+Training-data-pipeline first-class ops (not in the reference): brute-force
+cosine top-k as the correctness baseline, and an LSH-bucketed variant as the
+scale path (random-hyperplane signs → bucket join → top-k within bucket).
+
+Numerical determinism across Spark and the DuckDB oracle: dot products are
+computed as an ORDERED left-to-right fold (F.aggregate over zip_with /
+list_sum over an index comprehension), so both engines add the same floats
+in the same order; results are rounded to 4 decimals before comparison.
+
+Scale notes: brute-force is a broadcast of the query vector (a literal) —
+embarrassingly parallel scan, no shuffle until the global top-k (which is
+a TakeOrdered, not a full sort). The LSH variant buckets the corpus once
+(deterministic hyperplanes derived from dimension index), turning ANN into
+a bucket-equi-join — the 100 TB path, since each probe touches one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Ordered fold dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k vs the embedding of ``query_vec_id``.
+
+    Returns (vec_id, cos) — the query vector itself excluded, ties broken by
+    vec_id for determinism.
+    """
+    spark = emb.sparkSession
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    q = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    e = F.col("embedding")
+    cos = _dot(e, q) / (_norm(e) * _norm(q))
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.round(cos, 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                     FOR i IN range(1, len(e.embedding) + 1)])
+           / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding]))
+              * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.qv]))),
+           4) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id != {query_vec_id}
+)
+SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+N_HYPERPLANES = 4
+
+
+def _hyperplane_sign(e: Column, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-hyperplane: component i has sign
+    (-1)^floor(i*(plane+2)/3) — a fixed ±1 pattern derived from the index,
+    identical in SQL. Sign bit = (dot(e, plane) >= 0)."""
+    proj = F.aggregate(
+        F.zip_with(
+            e,
+            F.array(*[F.lit(_plane_coef(plane, i)) for i in range(dim)]),
+            lambda x, c: x.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (proj >= 0).cast("int")
+
+
+def _plane_coef(plane: int, i: int) -> float:
+    return 1.0 if ((i * (plane + 2)) // 3) % 2 == 0 else -1.0
+
+
+def lsh_buckets(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, bucket) — random-hyperplane LSH bucket id (0..15)."""
+    e = F.col("embedding")
+    bucket = None
+    for p in range(N_HYPERPLANES):
+        term = _hyperplane_sign(e, p, dim) * F.lit(1 << p)
+        bucket = term if bucket is None else bucket + term
+    return emb.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def lsh_buckets_sql(dim: int = 64) -> str:
+    parts = []
+    for p in range(N_HYPERPLANES):
+        coefs = ", ".join(str(_plane_coef(p, i)) for i in range(dim))
+        parts.append(
+            f"(CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * ([{coefs}])[i] "
+            f"FOR i IN range(1, {dim} + 1)]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    expr = " + ".join(parts)
+    return f"SELECT vec_id, CAST({expr} AS INT) AS bucket FROM embeddings"
+
+
+def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10, dim: int = 64) -> DataFrame:
+    """ANN: restrict the cosine scan to the query's LSH bucket (the scale
+    path — each probe reads one bucket partition instead of the corpus)."""
+    buckets = lsh_buckets(emb, dim)
+    qb = buckets.filter(F.col("vec_id") == query_vec_id).head()["bucket"]
+    cands = buckets.filter((F.col("bucket") == qb) & (F.col("vec_id") != query_vec_id))
+    scored = cosine_topk(
+        emb.join(cands.select("vec_id"), "vec_id", "inner").unionByName(
+            emb.filter(F.col("vec_id") == query_vec_id)
+        ),
+        query_vec_id,
+        k,
+    )
+    return scored
+
+
+def ann_lsh_topk_sql(query_vec_id: int = 0, k: int = 10, dim: int = 64) -> str:
+    return f"""
+WITH buckets AS ({lsh_buckets_sql(dim)}),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = {query_vec_id}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+cands AS (
+  SELECT b.vec_id FROM buckets b, qb
+  WHERE b.bucket = qb.bucket AND b.vec_id != {query_vec_id}
+),
+scored AS (
+  SELECT e.vec_id,
+         round(
+           list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                     FOR i IN range(1, len(e.embedding) + 1)])
+           / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding]))
+              * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.qv]))),
+           4) AS cos
+  FROM embeddings e JOIN cands c ON e.vec_id = c.vec_id, q
+)
+SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""

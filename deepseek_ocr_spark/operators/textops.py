@@ -1,0 +1,328 @@
+"""Text-analysis + relational post-processing operators over the driver's
+``documents(doc_id, text, lang, source, n_chars)`` table.
+
+Two groups:
+
+1. Relational re-expressions of the reference's dataflow stages (SURVEY.md
+   ★ rows) exercised against the DuckDB oracle: EOS filter (O-19/O-33),
+   ordered assembly (O-24), ordinals (O-26/O-27), metrics rollup (O-25),
+   regex span extraction / cleanup cascades (O-30/O-36), bbox rescale
+   (O-32), anti-join resume (O-22 note).
+2. Training-data-pipeline text ops: language-ID heuristic, quality scoring,
+   token counting, document fingerprinting.
+
+Every op is pure built-in Catalyst expressions (whole-stage codegen, no
+Python on the data path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deepseek_ocr_spark.config import PAGE_SEP
+
+# --- O-19/O-33: contains-filter + strip ------------------------------------
+
+EOS_MARKER = "spark"  # stand-in marker word present in ~half the driver docs
+
+
+def eos_filter(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("text").contains(EOS_MARKER)).select(
+        "doc_id", F.replace(F.col("text"), F.lit(EOS_MARKER), F.lit("")).alias("stripped")
+    )
+
+
+EOS_FILTER_SQL = f"""
+SELECT doc_id, replace(text, '{EOS_MARKER}', '') AS stripped
+FROM documents WHERE contains(text, '{EOS_MARKER}')
+"""
+
+# --- O-24: ordered assembly -------------------------------------------------
+
+
+def ordered_assembly(docs: DataFrame) -> DataFrame:
+    """Group docs by source, concatenate texts in doc_id order with the page
+    separator appended after every element (pdf.py:296-298 semantics)."""
+    return docs.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: F.concat(x["text"], F.lit(PAGE_SEP)),
+            ),
+            "",
+        ).alias("assembled"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+ORDERED_ASSEMBLY_SQL = """
+SELECT source,
+       string_agg(text || chr(10) || chr(10) || '<--- Page Split --->' || chr(10),
+                  '' ORDER BY doc_id) AS assembled,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+# --- O-26/O-27: ordinals ----------------------------------------------------
+
+
+def page_ordinals(docs: DataFrame) -> DataFrame:
+    win = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "doc_id", "source", (F.row_number().over(win) - 1).alias("ord")
+    )
+
+
+PAGE_ORDINALS_SQL = """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS ord
+FROM documents
+"""
+
+# --- O-25: metrics rollup ---------------------------------------------------
+
+
+def metrics_rollup(docs: DataFrame) -> DataFrame:
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+METRICS_ROLLUP_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+# --- O-30: regex span extraction ---------------------------------------------
+
+SPAN_PATTERN = "(data|spark|table)"
+
+
+def span_extract(docs: DataFrame) -> DataFrame:
+    matches = F.regexp_extract_all(F.col("text"), F.lit(SPAN_PATTERN), 1)
+    return docs.select(
+        "doc_id",
+        F.size(matches).alias("n_matches"),
+        F.concat_ws("|", matches).alias("matches_joined"),
+    )
+
+
+SPAN_EXTRACT_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{SPAN_PATTERN}', 1)) AS n_matches,
+       coalesce(array_to_string(regexp_extract_all(text, '{SPAN_PATTERN}', 1), '|'), '') AS matches_joined
+FROM documents
+"""
+
+# --- O-36: cleanup cascade ----------------------------------------------------
+
+
+def cleanup_cascade(docs: DataFrame) -> DataFrame:
+    """Chained replace/regexp_replace — the newline-collapse/latex-fix analog."""
+    c = F.col("text")
+    c = F.replace(c, F.lit("the "), F.lit(""))
+    c = F.regexp_replace(c, "(batch )+batch", "batch")
+    c = F.regexp_replace(c, "  +", " ")
+    return docs.select("doc_id", c.alias("cleaned"))
+
+
+CLEANUP_CASCADE_SQL = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(replace(text, 'the ', ''), '(batch )+batch', 'batch', 'g'),
+         '  +', ' ', 'g') AS cleaned
+FROM documents
+"""
+
+# --- O-32: bbox rescale -------------------------------------------------------
+
+
+def bbox_rescale(docs: DataFrame) -> DataFrame:
+    """Virtual 0-999 grid → pixels with int truncation (image.py:99-103);
+    synthetic coords/dims derived deterministically from doc_id."""
+    d = F.col("doc_id")
+    width = (F.lit(320) + (d * 37) % 2240).alias("width")
+    height = (F.lit(320) + (d * 53) % 2240).alias("height")
+    x1, y1 = (d * 11) % 1000, (d * 17) % 1000
+    x2, y2 = x1 + (d * 3) % (1000 - x1 + 1), y1 + (d * 7) % (1000 - y1 + 1)
+    w = F.lit(320) + (d * 37) % 2240
+    h = F.lit(320) + (d * 53) % 2240
+    return docs.select(
+        "doc_id",
+        F.floor(x1 * w / 999).cast("bigint").alias("px1"),
+        F.floor(y1 * h / 999).cast("bigint").alias("py1"),
+        F.floor(x2 * w / 999).cast("bigint").alias("px2"),
+        F.floor(y2 * h / 999).cast("bigint").alias("py2"),
+    )
+
+
+BBOX_RESCALE_SQL = """
+SELECT doc_id,
+       CAST(floor(((doc_id*11) % 1000) * (320 + (doc_id*37) % 2240) / 999) AS BIGINT) AS px1,
+       CAST(floor(((doc_id*17) % 1000) * (320 + (doc_id*53) % 2240) / 999) AS BIGINT) AS py1,
+       CAST(floor((((doc_id*11) % 1000) + (doc_id*3) % (1000 - ((doc_id*11) % 1000) + 1))
+                  * (320 + (doc_id*37) % 2240) / 999) AS BIGINT) AS px2,
+       CAST(floor((((doc_id*17) % 1000) + (doc_id*7) % (1000 - ((doc_id*17) % 1000) + 1))
+                  * (320 + (doc_id*53) % 2240) / 999) AS BIGINT) AS py2
+FROM documents
+"""
+
+# --- anti-join resume (O-22 note) ---------------------------------------------
+
+
+def anti_join_resume(docs: DataFrame) -> DataFrame:
+    done = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return docs.join(done, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+ANTI_JOIN_RESUME_SQL = """
+SELECT doc_id, lang FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents x WHERE x.doc_id % 3 = 0 AND x.doc_id = d.doc_id)
+"""
+
+# --- training-data text ops ----------------------------------------------------
+
+EN_STOPWORDS = ("the", "a", "of", "is", "to", "and")
+
+
+def langid_heuristic(docs: DataFrame) -> DataFrame:
+    """Stopword-ratio language-ID heuristic (n-gram-free variant)."""
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = F.round(stop.cast("double") / F.size(toks), 4)
+    return docs.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        (ratio > 0.03).alias("pred_en"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+LANGID_SQL = f"""
+SELECT doc_id,
+       round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       (round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) > 0.03) AS pred_en
+FROM documents
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/stopword/mean-word-length quality score (0..1)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    mean_wl = (F.length("text") - (n - 1)).cast("double") / n
+    score = (
+        F.least(n.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop.cast("double") * 10 / n, F.lit(1.0)) * 0.25
+        + F.when((mean_wl >= 3) & (mean_wl <= 8), 0.25).otherwise(0.0)
+    )
+    return docs.select("doc_id", F.round(score, 4).alias("quality"))
+
+
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS nc FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_filter(toks, x -> x IN ({_SW}))) AS stop,
+         CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wl
+  FROM t
+)
+SELECT doc_id,
+       round(least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.5
+             + least(CAST(stop AS DOUBLE) * 10 / n, 1.0) * 0.25
+             + CASE WHEN mean_wl >= 3 AND mean_wl <= 8 THEN 0.25 ELSE 0.0 END,
+             4) AS quality
+FROM s
+"""
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace + alnum-run token counts (the BPE-ish proxy, relationally)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0)).alias(
+            "n_alnum_tokens"
+        ),
+        F.length("text").alias("len_chars"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_alnum_tokens,
+       length(text) AS len_chars
+FROM documents
+"""
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """md5 over the 8 lexicographically-smallest distinct 3-gram shingles —
+    an order-invariant rolling-hash-style document fingerprint."""
+    from deepseek_ocr_spark.operators.dedup import _shingles
+
+    sh = _shingles(docs).distinct()
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.slice(F.array_sort(F.collect_list("shingle")), 1, 8).alias("top8"))
+        .select("doc_id", F.md5(F.array_join("top8", "|")).alias("fingerprint"))
+    )
+
+
+def doc_fingerprint_sql() -> str:
+    from deepseek_ocr_spark.operators.dedup import shingles_sql
+
+    return f"""
+WITH sh AS (SELECT DISTINCT * FROM ({shingles_sql()})),
+agg AS (
+  SELECT doc_id, list_slice(list_sort(list(shingle)), 1, 8) AS top8
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, md5(array_to_string(top8, '|')) AS fingerprint FROM agg
+"""
+
+
+# --- events table: time-windowed agg (streaming-adjacent relational op) --------
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def broadcast_dim_join(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Broadcast hash join of the small embeddings side onto documents
+    (the O-22 keyed re-join pattern, broadcast because the dim is small)."""
+    return docs.join(
+        F.broadcast(emb.select(F.col("vec_id").alias("doc_id"), "label")),
+        "doc_id",
+        "inner",
+    ).select("doc_id", "lang", "label", "n_chars")
+
+
+BROADCAST_DIM_JOIN_SQL = """
+SELECT d.doc_id, d.lang, e.label, d.n_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""

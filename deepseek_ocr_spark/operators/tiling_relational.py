@@ -46,7 +46,7 @@ def candidates_sql_values(min_crops: int = MIN_CROPS, max_crops: int = MAX_CROPS
         f"({pos}, {i}, {j})"
         for pos, (i, j) in enumerate(candidate_ratios(min_crops, max_crops))
     )
-    return f"(VALUES {rows}) AS cand(pos, i, j)"
+    return f"(VALUES {rows}) AS c(pos, i, j)"
 
 
 def with_tile_plan(
@@ -123,7 +123,7 @@ scored AS (
   SELECT p.*, c.pos, c.i, c.j,
          abs(CAST({width_expr} AS DOUBLE)/{height_expr} - CAST(c.i AS DOUBLE)/c.j) AS diff,
          ({width_expr} * {height_expr} > 0.5 * {image_size} * {image_size} * c.i * c.j) AS area_cond
-  FROM pages p CROSS JOIN {candidates_sql_values()} c
+  FROM pages p CROSS JOIN {candidates_sql_values()}
 ),
 ranked AS (
   SELECT *, row_number() OVER (

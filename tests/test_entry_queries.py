@@ -1,0 +1,91 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+at sf0.01 and compare against oracle_sql() via DuckDB — row count, sorted
+column names, and an order-insensitive value hash."""
+
+import hashlib
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    import math
+    from datetime import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return str(v)
+
+
+def _value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "|".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    qdf = QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in qdf.collect()]
+    spark_cols = qdf.columns
+
+    res = duck.sql(ORACLES[name])
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sh = _value_hash(spark_rows, spark_cols)
+    dh = _value_hash(duck_rows, duck_cols)
+    if sh != dh:
+        s_set = {tuple(map(str, r)) for r in spark_rows}
+        d_set = {tuple(map(str, r)) for r in duck_rows}
+        only_s = list(s_set - d_set)[:3]
+        only_d = list(d_set - s_set)[:3]
+        pytest.fail(f"{name}: value hash mismatch\n spark-only={only_s}\n duck-only={only_d}")
+
+
+def test_rows_only_queries_run(spark):
+    for name in set(QUERIES) - set(ORACLES):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "digest" in df.columns
