@@ -1,0 +1,142 @@
+"""Two-cluster-size scaling evidence (north_rule: N vs 4N executors).
+
+Sandbox stand-in: the SAME extraction job on the SAME materialized input at
+local[N] and local[4N], fresh JVM per level, timing a noop write of the FULL
+result (an aggregate-only action would let Catalyst prune the finalize stage
+and under-measure — observed). Efficiency:
+
+    eff = (throughput@4N / throughput@N) / 4          (target ≥ 0.8)
+
+Primary pair N=2 → 4N=8. Levels 16/32 are also recorded for the full curve:
+on this 32-vCPU single-JVM sandbox, per-core Python throughput degrades
+beyond ~8 concurrent workers (VM/SMT contention — the pure-kernel
+multiprocessing envelope shows the same knee), which is a host artifact, not
+an engine property; on a real multi-executor cluster each executor runs few
+Python workers on dedicated cores.
+
+Run:  python BENCH/scaling.py [--sf-dir /root/testdata/sf0.1]
+      [--replicate 32] [--repeat 3] [--full-curve]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import tempfile
+
+MATERIALIZE = r"""
+import sys
+sf_dir, out, replicate, files = sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+from deepseek_ocr_spark.pipeline.session import build_session
+from deepseek_ocr_spark.entry_queries import driver_docs_to_input, replicated_driver_docs
+spark = build_session(app_name="materialize", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+driver_docs_to_input(replicated_driver_docs(spark, sf_dir, replicate)) \
+    .repartition(files).write.mode("overwrite").parquet(out)
+spark.stop()
+"""
+
+WORKER = r"""
+import json, sys, time, statistics
+docs_path, cpus, repeat = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+from deepseek_ocr_spark.pipeline.session import build_session
+from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+
+spark = build_session(app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+d = spark.read.parquet(docs_path)
+d.count()  # warm scan + python worker pool
+
+times = []
+for _ in range(repeat):
+    t0 = time.time()
+    extract_documents(d, page_partitions=cpus).write.format("noop").mode("overwrite").save()
+    times.append(time.time() - t0)
+pages = extract_documents(d).selectExpr("sum(n_pages) as p").collect()[0]["p"]
+med = statistics.median(times[1:]) if len(times) > 1 else times[0]
+print(json.dumps({"cpus": cpus, "sec": round(med, 2), "runs": [round(t,2) for t in times],
+                  "pages": int(pages), "pages_per_sec": round(pages / med, 2)}))
+spark.stop()
+"""
+
+
+def _sub(code: str, *args: str, timeout: int = 900) -> str:
+    out = subprocess.run(
+        [sys.executable, "-c", code, *args],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    return lines[-1] if lines else ""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=32,
+                    help="replicate the driver corpus k x (distinct doc_ids) so "
+                         "parallel work dominates fixed overhead; both levels "
+                         "see the SAME materialized input")
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--full-curve", action="store_true",
+                    help="also measure 16 and 32 cores")
+    args = ap.parse_args()
+
+    docs_path = tempfile.mkdtemp(prefix="scaling_docs_") + "/docs"
+    _sub(MATERIALIZE, args.sf_dir, docs_path, str(args.replicate), "96")
+
+    levels = [2, 8] + ([16, 32] if args.full_curve else [])
+    results = {}
+    for cpus in levels:
+        results[cpus] = json.loads(_sub(WORKER, docs_path, str(cpus), str(args.repeat)))
+
+    lo, hi = results[2], results[8]
+    eff = round((hi["pages_per_sec"] / lo["pages_per_sec"]) / 4, 3)
+
+    rows = "\n".join(
+        f"| {'N' if c == 2 else ('4N' if c == 8 else str(c)+' (info)')} | {c} "
+        f"| {r['sec']} | {r['pages_per_sec']} |"
+        for c, r in sorted(results.items())
+    )
+    md = f"""# BENCH/BASELINE — measured scaling evidence
+
+Same job (flagship extraction pipeline: fused split+extract mapInPandas →
+fold-expression tile plan → url-repartitioned ordered assembly → doc-level
+finalize UDF), same materialized input ({lo['pages']} pages derived
+deterministically from {args.sf_dir} x{args.replicate}), fresh JVM per
+level, median of the post-warmup runs, noop write of the FULL result
+(nothing pruned). Sandbox stand-in for N vs 4N executors (north_rule).
+
+| level | cores | wall (s) | pages/sec |
+|---|---|---|---|
+{rows}
+
+**Scaling efficiency N→4N (2→8 cores): (throughput@8 / throughput@2) / 4 =
+{eff}** (target ≥ 0.8, BASELINE.md)
+
+Methodology notes:
+- Timing is a `noop` write of all output columns; timing an aggregate-only
+  action lets Catalyst prune the Python finalize stage (observed: the
+  collect_list + finalize subtree vanished from the executed plan).
+- Beyond ~8 concurrent Python workers this single-JVM 32-vCPU sandbox
+  degrades per-core Python throughput (the pure-kernel multiprocessing
+  envelope shows the same knee at 16→32 procs), so 16/32-core walls
+  under-represent the engine: on a real cluster each executor runs few
+  Python workers on dedicated cores. The 2→8 pair is the contention-free
+  region and is the honest N→4N datapoint this host can produce.
+- Input was materialized to parquet first: deriving synthetic html is test
+  scaffolding, not engine throughput.
+"""
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    with open(base, "w") as f:
+        f.write(md)
+    print(json.dumps({"results": results, "efficiency_2_to_8": eff}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the flagship extraction pipeline (reported also as pages/sec —
+the BASELINE.md metric) plus the heavier operator families (dedup, similarity,
+text quality). Session startup is excluded from per-query timings; each
+query is collected once (count/collect action) after a warmup of the input
+scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    from deepseek_ocr_spark.entry_queries import (
+        docs_from_driver_table,
+        queries as registry,
+    )
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+    from deepseek_ocr_spark.pipeline.session import build_session
+
+    spark = build_session(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the scan path (parquet footer reads, Python worker pool spin-up)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+
+    # flagship: full extraction pipeline over a MATERIALIZED documents table
+    # (input derivation is setup, not engine throughput), timed via a noop
+    # write of ALL columns — an aggregate-only action would let Catalyst
+    # prune the finalize stage and under-measure.
+    import tempfile
+
+    docs_path = tempfile.mkdtemp(prefix="bench_docs_") + "/docs"
+    docs_from_driver_table(spark, sf_dir).write.parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    extracted = extract_documents(docs)
+    t0 = time.time()
+    extracted.write.format("noop").mode("overwrite").save()
+    extract_sec = time.time() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+    # page/doc counters via the pruned fast path (not timed)
+    row = extract_documents(docs).selectExpr(
+        "sum(n_pages) as pages", "count(*) as docs", "sum(n_vision_tokens) as vt"
+    ).collect()[0]
+    pages = int(row["pages"] or 0)
+
+    bench_queries = [
+        "tile_plan_argmin",
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "similarity_topk",
+        "similarity_ann_lsh",
+        "langid_heuristic",
+        "quality_score",
+        "token_count",
+        "doc_fingerprint",
+        "ordered_assembly",
+        "events_hourly",
+    ]
+    reg = registry()
+    for name in bench_queries:
+        t0 = time.time()
+        reg[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages": pages,
+        "docs": int(row["docs"]),
+        "vision_tokens": int(row["vt"] or 0),
+        "pages_per_sec": round(pages / extract_sec, 2) if extract_sec > 0 else 0.0,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+if __name__ == "__main__":
+    main()

@@ -105,9 +105,20 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_from_driver_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver documents table → input_hint shape (url, warc_ts, html, text,
     lang) with deterministic synthetic page HTML."""
+    # The driver's sf parquet is a single file → one scan split; without an
+    # explicit spread the derive/split stages would run on ONE task no matter
+    # how many cores exist (observed: input partitions = 1). On a real CC
+    # table the scan has thousands of splits; here the repartition stands in
+    # for that. Cheap: shuffles only (doc_id, text, lang).
+    return driver_docs_to_input(_docs(spark, sf_dir).select("doc_id", "text", "lang"))
+
+
+def driver_docs_to_input(src: DataFrame) -> DataFrame:
+    """(doc_id, text, lang) rows → input_hint shape with derived html."""
     import pandas as pd
     from pyspark.sql import types as T
 
+    spark = src.sparkSession
     schema = T.StructType(
         [
             T.StructField("url", T.StringType()),
@@ -138,7 +149,25 @@ def docs_from_driver_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return _docs(spark, sf_dir).select("doc_id", "text", "lang").mapInPandas(to_html, schema)
+    par = spark.sparkContext.defaultParallelism
+    return src.repartition(par).mapInPandas(to_html, schema)
+
+
+def replicated_driver_docs(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Deterministically replicate the driver corpus k× with distinct
+    doc_ids (offset per copy) — same-job-bigger-input scaling evidence
+    without external data."""
+    base = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text", "lang"
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 # --- registry ----------------------------------------------------------------

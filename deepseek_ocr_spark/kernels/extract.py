@@ -61,6 +61,23 @@ class PageRecord:
     degenerate: bool = False
 
 
+import re as _re
+
+# Fast page-splitter scan: only div tags matter for page-section boundaries,
+# so a compiled regex over div open/close tags (tracking nesting depth) is
+# ~10x cheaper than a full HTMLParser pass — measured as the dominant cost
+# of the split stage at bench scale. Heuristic limits (documented): assumes
+# '>' does not appear inside attribute values of div tags.
+_DIV_TAG_RE = _re.compile(r"<div\b[^>]*>|</div\s*>", _re.IGNORECASE)
+_CLASS_PAGE_RE = _re.compile(r"class\s*=\s*\"[^\"]*\bpage\b[^\"]*\"", _re.IGNORECASE)
+_ATTR_RES = {
+    "page": _re.compile(r"data-page\s*=\s*\"(\d+)\""),
+    "width": _re.compile(r"data-width\s*=\s*\"(\d+)\""),
+    "height": _re.compile(r"data-height\s*=\s*\"(\d+)\""),
+    "degen": _re.compile(r"data-degenerate\s*=\s*\"1\""),
+}
+
+
 class _PageSplitter(HTMLParser):
     """Split a document into ``div.page`` sections (outer HTML, attrs kept)."""
 
@@ -116,9 +133,57 @@ class _PageSplitter(HTMLParser):
 def split_pages(html: str) -> list[PageRecord]:
     """Document → ordered page sections (the O-2 fan-out analog).
 
-    Documents without explicit ``div.page`` sections are one page whose
-    section is the whole document.
+    Fast div-scan splitter (see _DIV_TAG_RE note); shared verbatim by the
+    oracle and the Spark stages. Documents without explicit ``div.page``
+    sections are one page whose section is the whole document. Falls back
+    to the HTMLParser-based splitter when the div nesting is unbalanced
+    (malformed HTML), so behavior degrades identically in both engines.
     """
+    pages: list[PageRecord] = []
+    depth = 0
+    start = -1
+    cur_tag = ""
+    balanced = True
+    for m in _DIV_TAG_RE.finditer(html):
+        tag = m.group(0)
+        if tag[1] != "/":  # open
+            if depth == 0:
+                if _CLASS_PAGE_RE.search(tag):
+                    start = m.start()
+                    cur_tag = tag
+                    depth = 1
+            else:
+                depth += 1
+        else:  # close
+            if depth > 0:
+                depth -= 1
+                if depth == 0 and start >= 0:
+                    pages.append(_page_record(cur_tag, html[start : m.end()], len(pages)))
+                    start = -1
+    if depth != 0:
+        balanced = False
+    if not balanced:
+        return _split_pages_htmlparser(html)
+    if pages:
+        pages.sort(key=lambda p: p.page_no)
+        return pages
+    return [PageRecord(0, DEFAULT_WIDTH, DEFAULT_HEIGHT, html, False)]
+
+
+def _page_record(open_tag: str, section: str, default_no: int) -> PageRecord:
+    m = _ATTR_RES["page"].search(open_tag)
+    page_no = int(m.group(1)) if m else default_no
+    m = _ATTR_RES["width"].search(open_tag)
+    width = int(m.group(1)) if m else DEFAULT_WIDTH
+    m = _ATTR_RES["height"].search(open_tag)
+    height = int(m.group(1)) if m else DEFAULT_HEIGHT
+    return PageRecord(
+        page_no, width, height, section, _ATTR_RES["degen"].search(open_tag) is not None
+    )
+
+
+def _split_pages_htmlparser(html: str) -> list[PageRecord]:
+    """HTMLParser-based fallback for malformed/unbalanced div nesting."""
     splitter = _PageSplitter()
     splitter.feed(html)
     splitter.close()

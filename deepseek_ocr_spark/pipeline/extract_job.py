@@ -5,16 +5,18 @@ run_dpsk_ocr_pdf.py end-to-end flow, SURVEY.md §3) as one Spark DataFrame
 plan over ``documents(url, warc_ts, html, text, lang)``:
 
   scan (column-pruned: url+html only)
-    → mapInPandas page split                 [O-2 fan-out, cheap parse]
-    → explicit hash repartition on page key  [skew spread: an oversized
-       40-page doc's pages land on 40 partitions, not 1 — AQE cannot fix
-       UDF-stage skew, so this is explicit; SURVEY.md §4.1]
+    → [auto] spread repartition by url        [only when the input has fewer
+       scan splits than the cluster parallelism — a real 100 TB table has
+       thousands of splits and skips this shuffle entirely]
+    → FUSED mapInPandas split+extract         [O-2 fan-out + O-38 kernel in
+       ONE Python stage: page html never crosses the Arrow boundary
+       (measured: shipping page_html through a shuffle + second Arrow hop
+       cost as much as extraction); iterator batches = the continuous-
+       batching analog; per-worker kernel singleton]
     → tile plan as a zero-shuffle fold expression over the 17-candidate
       literal array [O-10/O-11; the broadcast-join+window formulation lives
       in operators/tiling_relational.py and is verified to agree]
     → vision-token column expression          [O-13]
-    → iterator pandas UDF extraction          [O-38 analog: per-executor
-       kernel singleton, Arrow micro-batches = continuous batching]
     → relational EOS keep-flag + strip        [O-19/O-33: contains + replace]
     → ordered per-url assembly aggregation    [O-24: array_sort(collect_list)
        of when(keep, …) — conditional collect drops SKIP_REPEAT pages AND
@@ -23,12 +25,14 @@ plan over ``documents(url, warc_ts, html, text, lang)``:
        O-30…O-36 cascade + span parse + token count, one pass per doc]
     → metrics / lineage columns               [O-25]
 
-Shuffle budget — exactly TWO exchanges end-to-end (verified via
-executedPlan): the explicit repartition by page key (skew spread; the
-fold-expression tile plan costs zero) and the single url shuffle of the
-assembly groupBy. No windows, no joins, one ArrowEvalPython for the kernel
-(a filter on the UDF column would have doubled it — hence the keep-flag
-design). Projection (url, html) prunes at the scan.
+Shuffle budget — ONE exchange end-to-end on a well-laid-out input (the url
+shuffle of the assembly groupBy), plus the optional input-spread
+repartition for few-split inputs. No windows, no joins, two Python stages
+(a filter on the UDF column would have double-evaluated the kernel — hence
+the keep-flag design). Projection (url, html) prunes at the scan. Skew:
+work per doc is bounded (≤~40 pages × the 8192-token cap), so doc-granular
+distribution evens out at thousands of docs per task; AQE skew-join
+handling stays on for the relational operators.
 """
 
 from __future__ import annotations
@@ -86,8 +90,46 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def split_to_pages(docs: DataFrame) -> DataFrame:
     """documents → one row per page (the PDF-render fan-out analog,
-    reference pdf.py:64-95)."""
+    reference pdf.py:64-95). Standalone op; the hot pipeline uses the fused
+    split+extract stage below so page_html never crosses the Arrow boundary."""
     return docs.select("url", "html").mapInPandas(_split_batches, PAGES_SCHEMA)
+
+
+# Fused split+extract: one Python stage emitting extracted page rows. The
+# page html stays inside the Python worker (measured: shipping page_html
+# through a shuffle + a second Arrow hop cost as much as extraction itself).
+EXTRACTED_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("raw", T.StringType()),
+    ]
+)
+
+
+def _split_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    kernel = _get_kernel()
+    for pdf in batches:
+        out = {k: [] for k in ("url", "page_no", "width", "height", "raw")}
+        for url, html in zip(pdf["url"], pdf["html"]):
+            if isinstance(html, (bytes, bytearray, memoryview)):
+                html = bytes(html).decode("utf-8", errors="replace")
+            for rec in kernel.split_pages(html):
+                out["url"].append(url)
+                out["page_no"].append(rec.page_no)
+                out["width"].append(rec.width)
+                out["height"].append(rec.height)
+                out["raw"].append(kernel.extract_page(rec))
+        yield pd.DataFrame(out)
+
+
+def split_and_extract(docs: DataFrame) -> DataFrame:
+    """documents → extracted page rows (url, page_no, width, height, raw)."""
+    return docs.select("url", "html").mapInPandas(
+        _split_extract_batches, EXTRACTED_PAGES_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -156,84 +198,9 @@ def _get_kernel():
     return _KERNEL
 
 
-@F.pandas_udf(T.StringType())
-def extract_raw_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
-    """page struct(page_html, page_no, width, height, degenerate) → raw
-    grounded markdown. Iterator-of-batches form: Arrow micro-batches are the
-    continuous-batching analog (reference max_num_seqs, config.py:13)."""
-    kernel = _get_kernel()
-    PageRecord = kernel.PageRecord
-    for pdf in it:
-        yield pd.Series(
-            [
-                kernel.extract_page(
-                    PageRecord(
-                        page_no=int(pn),
-                        width=int(w),
-                        height=int(h),
-                        html=ph,
-                        degenerate=bool(dg),
-                    )
-                )
-                for pn, w, h, ph, dg in zip(
-                    pdf["page_no"], pdf["width"], pdf["height"],
-                    pdf["page_html"], pdf["degenerate"],
-                )
-            ]
-        )
-
-
 # ---------------------------------------------------------------------------
-# Stage 4 — per-page cascade + span parse (pandas UDF → struct)
+# Stage 3 — doc-level finalize (cascade + assembly + spans + token count)
 # ---------------------------------------------------------------------------
-
-SPAN_TYPE = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("label", T.StringType()),
-            T.StructField("x1", T.IntegerType()),
-            T.StructField("y1", T.IntegerType()),
-            T.StructField("x2", T.IntegerType()),
-            T.StructField("y2", T.IntegerType()),
-            T.StructField("ord", T.IntegerType()),
-        ]
-    )
-)
-
-CLEAN_TYPE = T.StructType(
-    [T.StructField("clean", T.StringType()), T.StructField("spans", SPAN_TYPE)]
-)
-
-
-def make_clean_udf(mode: str):
-    @F.pandas_udf(CLEAN_TYPE)
-    def clean_udf(content: pd.Series, jdx: pd.Series) -> pd.DataFrame:
-        from deepseek_ocr_spark.kernels import postprocess as pp
-
-        cleans, spans_col = [], []
-        for text, j in zip(content, jdx):
-            spans = [
-                (s["label"], s["x1"], s["y1"], s["x2"], s["y2"], s["ord"])
-                for s in pp.parse_spans(text)
-            ]
-            if mode == "eval":
-                cleans.append(pp.clean_page_eval(text))
-            elif mode == "image":
-                cleans.append(pp.clean_page_image(text))
-            else:
-                cleans.append(pp.clean_page_pdf(text, int(j)))
-            spans_col.append(spans)
-        return pd.DataFrame({"clean": cleans, "spans": spans_col})
-
-    return clean_udf
-
-
-@F.pandas_udf(T.LongType())
-def text_tokens_udf(text: pd.Series) -> pd.Series:
-    from deepseek_ocr_spark.kernels.tokens import num_text_tokens
-
-    return text.map(num_text_tokens).astype("int64")
-
 
 DOC_SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -315,32 +282,39 @@ def extract_documents(
     docs: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     page_partitions: int | None = None,
+    spread_input: bool | None = None,
 ) -> DataFrame:
     """documents → extracted(url, text, raw_text, spans, n_pages,
     n_vision_tokens, n_text_tokens, compression_ratio, digest).
 
     Byte-identical per url to ``oracle.runner.extract_url`` (pytest gate).
+
+    ``spread_input``: repartition documents by url before the fused
+    split+extract stage. Auto (None): only when the input has fewer
+    partitions than the cluster's parallelism — a well-laid-out 100 TB table
+    already has thousands of scan splits, so the shuffle of html bytes is
+    skipped; a single-file sandbox input gets spread so the Python stage
+    isn't single-tasked. Work per doc is bounded (≤~40 pages × the 8192
+    output-token cap), so doc-granularity distribution is skew-safe at
+    thousands of docs per task.
     """
     spark = docs.sparkSession
-
-    pages = split_to_pages(docs)
     if page_partitions is None:
         page_partitions = spark.sparkContext.defaultParallelism
-    # explicit skew spread: pages of one huge doc scatter across the cluster
-    pages = pages.repartition(page_partitions, "url", "page_no")
+
+    src = docs.select("url", "html")
+    if spread_input is None:
+        spread_input = src.rdd.getNumPartitions() < page_partitions
+    if spread_input:
+        src = src.repartition(page_partitions, "url")
+
+    pages = split_and_extract(src)
 
     plan = tile_plan_expr(F.col("width"), F.col("height"), cfg)
     pages = pages.withColumn("nw", plan["nw"]).withColumn("nh", plan["nh"])
     pages = pages.withColumn(
         "vis_tokens", vision_tokens_col(F.col("nw"), F.col("nh"), cfg.base_size, cfg.image_size)
     )
-
-    pages = pages.withColumn(
-        "raw",
-        extract_raw_udf(
-            F.struct("page_no", "width", "height", "page_html", "degenerate")
-        ),
-    ).drop("page_html", "degenerate")
 
     # O-19 SKIP_REPEAT gate as a flag, not a filter: a filter directly on a
     # Python-UDF column makes Catalyst evaluate the UDF twice (once for the
@@ -361,6 +335,13 @@ def extract_documents(
     # restored inside the aggregate, so no separate window pass (and no
     # second url exchange: ArrowEvalPython between a window and a groupBy
     # would forget the hash partitioning and force one).
+    # Explicit url repartition (REPARTITION_BY_NUM) rather than letting the
+    # groupBy add an ENSURE_REQUIREMENTS exchange: AQE's byte-based
+    # coalescing shrank the post-shuffle stage to 1 task (observed in the
+    # event log), serializing the Python finalize stage — partition-count
+    # decisions for CPU-bound UDF stages must not be byte-based. No partial-
+    # agg loss: collect_list partials don't reduce data anyway.
+    pages = pages.repartition(page_partitions, "url")
     assembled = pages.groupBy("url").agg(
         F.array_sort(
             F.collect_list(F.when(F.col("keep"), F.struct("page_no", "content")))
