@@ -205,6 +205,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: textops.bbox_rescale(_docs(s, d)),
         textops.BBOX_RESCALE_SQL,
     ),
+    "formula_cleanup": (
+        lambda s, d: textops.formula_cleanup(_docs(s, d)),
+        textops.FORMULA_CLEANUP_SQL,
+    ),
+    "image_ref_substitution": (
+        lambda s, d: textops.image_ref_substitution(_docs(s, d)),
+        textops.IMAGE_REF_SUBSTITUTION_SQL,
+    ),
     "anti_join_resume": (
         lambda s, d: textops.anti_join_resume(_docs(s, d)),
         textops.ANTI_JOIN_RESUME_SQL,
@@ -237,6 +245,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard": (
         lambda s, d: dedup.ngram_jaccard_adjacent(_docs(s, d)),
         dedup.ngram_jaccard_sql(),
+    ),
+    "dedup_minhash_verified": (
+        lambda s, d: dedup.dedup_minhash_verified(_docs(s, d)),
+        dedup.dedup_minhash_verified_sql(),
+    ),
+    "dedup_embedding_cosine": (
+        lambda s, d: similarity.embedding_near_dup(_emb(s, d)),
+        similarity.embedding_near_dup_sql(),
     ),
     # similarity search
     "similarity_topk": (

@@ -203,6 +203,69 @@ def ngram_jaccard_adjacent(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The 100 TB near-dup composition: MinHash-LSH proposes candidate pairs
+    (no O(n²)), exact n-gram Jaccard verifies them. Shingle sets are
+    semi-joined to the candidate pairs, so the expensive exact comparison
+    touches only LSH-bucket collisions.
+
+    Returns (a_doc_id, b_doc_id, jaccard, is_dup).
+    """
+    cands = dedup_minhash_pairs(docs)
+    sh = _shingles(docs).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cands.join(a, F.col("a_doc_id") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("b_doc_id") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("a_doc_id", "b_doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("a_doc_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_doc_id") == F.col("sb.doc_id"))
+        .select(
+            "a_doc_id",
+            "b_doc_id",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.withColumn("is_dup", F.col("jaccard") >= threshold)
+
+
+def dedup_minhash_verified_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    return f"""
+WITH cands AS ({dedup_minhash_pairs_sql(table)}),
+sh AS (SELECT DISTINCT * FROM ({shingles_sql(table)})),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_doc_id, c.b_doc_id, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON c.a_doc_id = a.doc_id
+  JOIN sh b ON c.b_doc_id = b.doc_id AND a.shingle = b.shingle
+  GROUP BY c.a_doc_id, c.b_doc_id
+)
+SELECT i.a_doc_id, i.b_doc_id,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard,
+       (round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= {threshold}) AS is_dup
+FROM inter i
+JOIN sizes sa ON i.a_doc_id = sa.doc_id
+JOIN sizes sb ON i.b_doc_id = sb.doc_id
+"""
+
+
 def ngram_jaccard_sql(table: str = "documents") -> str:
     return f"""
 WITH sh AS (SELECT DISTINCT * FROM ({shingles_sql(table)})),

@@ -78,6 +78,44 @@ SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
 
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.15) -> DataFrame:
+    """Embedding-cosine near-dup: adjacent vec_id pairs with cosine above a
+    threshold (banded pairing keeps the comparison linear; the LSH-bucketed
+    variant below is the all-pairs scale path).
+
+    Returns (a_vec_id, b_vec_id, cos, is_dup).
+    """
+    a = emb.alias("a")
+    b = emb.alias("b")
+    ea, eb = F.col("a.embedding"), F.col("b.embedding")
+    cos = F.round(_dot(ea, eb) / (_norm(ea) * _norm(eb)), 4)
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("a_vec_id"),
+            F.col("b.vec_id").alias("b_vec_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("is_dup", F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.15) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+         round(
+           list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                     FOR i IN range(1, len(a.embedding) + 1)])
+           / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN a.embedding]))
+              * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN b.embedding]))),
+           4) AS cos
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)
+SELECT a_vec_id, b_vec_id, cos, (cos >= {threshold}) AS is_dup FROM pairs
+"""
+
+
 N_HYPERPLANES = 4
 
 

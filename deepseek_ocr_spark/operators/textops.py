@@ -138,6 +138,83 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- O-34: formula cleanup (relational two-step regex) -------------------------
+
+
+def formula_cleanup(docs: DataFrame) -> DataFrame:
+    """clean_formula (eval.py:53-68) re-expressed relationally: synthesize a
+    formula-bearing string per doc (driver text carries none), then apply the
+    two-step cascade — drop ``\\quad (...)`` annotations inside ``\\[...\\]``,
+    strip inner whitespace, re-wrap. The kernel version (regex callback)
+    lives in kernels/postprocess.py; this is the pure-Catalyst variant."""
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.lit("intro "),
+        F.lit("\\[ E = mc^"), (d % 9 + 2).cast("string"),
+        F.lit(" \\quad ("), (d % 5).cast("string"), F.lit(") \\]"),
+        F.lit(" outro"),
+    )
+    step1 = F.regexp_replace(synth, r"\\quad\s*\([^)]*\)", "")
+    step2 = F.regexp_replace(step1, r"\\\[\s*(.*?)\s*\\\]", r"\\[$1\\]")
+    return docs.select("doc_id", step2.alias("cleaned_formula"))
+
+
+FORMULA_CLEANUP_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           'intro ' || '\[ E = mc^' || CAST(doc_id % 9 + 2 AS VARCHAR)
+             || ' \quad (' || CAST(doc_id % 5 AS VARCHAR) || ') \]' || ' outro',
+           '\\quad\s*\([^)]*\)', '', 'g'),
+         '\\\[\s*(.*?)\s*\\\]', '\\[\1\\]', 'g') AS cleaned_formula
+FROM documents
+"""
+
+# --- O-35: ordinal image-ref substitution (relational) --------------------------
+
+
+def image_ref_substitution(docs: DataFrame) -> DataFrame:
+    """The ordinal-dependent ``<|ref|>image<|/ref|>…`` → ``![](images/k.jpg)``
+    rewrite (image.py:240-241) as a relational plan: synthesize per-doc span
+    strings, posexplode, build the positional replacement, refold. The
+    kernel does this in a single Python pass; here the ordinal comes from
+    the explode position — the O-26 posexplode pattern."""
+    d = F.col("doc_id")
+    n_spans = (d % 3 + 1).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda k: F.concat(
+            F.lit("<|ref|>image<|/ref|><|det|>[["),
+            (d % 100).cast("string"), F.lit(","), k.cast("string"),
+            F.lit(",900,900]]<|/det|>"),
+        ),
+    )
+    replaced = F.transform(
+        spans,
+        lambda s, k: F.concat(F.lit("![](images/"), k.cast("string"), F.lit(".jpg)\n")),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(spans, "|").alias("raw_spans"),
+        F.array_join(replaced, "|").alias("substituted"),
+    )
+
+
+IMAGE_REF_SUBSTITUTION_SQL = """
+WITH t AS (
+  SELECT doc_id, doc_id % 3 + 1 AS n_spans FROM documents
+)
+SELECT doc_id,
+       array_to_string(
+         [ '<|ref|>image<|/ref|><|det|>[[' || CAST(doc_id % 100 AS VARCHAR)
+             || ',' || CAST(k AS VARCHAR) || ',900,900]]<|/det|>'
+           FOR k IN range(0, n_spans) ], '|') AS raw_spans,
+       array_to_string(
+         [ '![](images/' || CAST(k AS VARCHAR) || '.jpg)' || chr(10)
+           FOR k IN range(0, n_spans) ], '|') AS substituted
+FROM t
+"""
+
 # --- O-32: bbox rescale -------------------------------------------------------
 
 
