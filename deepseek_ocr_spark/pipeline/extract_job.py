@@ -310,6 +310,13 @@ def extract_documents(
 
     pages = split_and_extract(src)
 
+    return _assemble_pages(pages, cfg, page_partitions)
+
+
+def _assemble_pages(pages: DataFrame, cfg: EngineConfig, page_partitions: int) -> DataFrame:
+    """Shared downstream: extracted page rows (url, page_no, width, height,
+    raw) → final extracted table. Used by both the fused doc-granular path
+    and the page-granular giant-doc path."""
     plan = tile_plan_expr(F.col("width"), F.col("height"), cfg)
     pages = pages.withColumn("nw", plan["nw"]).withColumn("nh", plan["nh"])
     pages = pages.withColumn(
@@ -374,6 +381,59 @@ def extract_documents(
     )
     result = result.withColumn("digest", F.sha2(F.encode(F.col("text"), "UTF-8"), 256))
     return result
+
+
+@F.pandas_udf(T.StringType())
+def page_extract_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+    """Page-granular kernel call for the giant-doc path: one page row →
+    raw grounded markdown (iterator form, per-worker singleton)."""
+    kernel = _get_kernel()
+    PageRecord = kernel.PageRecord
+    for pdf in it:
+        yield pd.Series(
+            [
+                kernel.extract_page(
+                    PageRecord(int(pn), int(w), int(h), ph, bool(dg))
+                )
+                for pn, w, h, ph, dg in zip(
+                    pdf["page_no"], pdf["width"], pdf["height"],
+                    pdf["page_html"], pdf["degenerate"],
+                )
+            ]
+        )
+
+
+def extract_documents_paged(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    page_partitions: int | None = None,
+) -> DataFrame:
+    """Page-granular variant for the giant-document regime (SURVEY.md §4.1).
+
+    The fused path distributes work at doc granularity — correct when docs
+    are bounded (web pages, ≤~40 sections). When single documents are
+    enormous (book-length PDFs: thousands of pages), one doc must not pin
+    one task, so this path splits FIRST, shuffles pages by the salted page
+    key (an explicit skew spread — AQE cannot rebalance UDF-stage work),
+    extracts page-at-a-time, then rejoins the shared assembly downstream.
+    Byte-identical to ``extract_documents`` (pytest gate); costs one extra
+    shuffle of page html + one extra Python stage, which is why it is not
+    the default.
+    """
+    spark = docs.sparkSession
+    if page_partitions is None:
+        page_partitions = spark.sparkContext.defaultParallelism
+
+    pages = split_to_pages(docs)
+    # salted page-key spread: pages of one giant doc scatter across tasks
+    pages = pages.repartition(
+        page_partitions, F.pmod(F.hash("url", "page_no"), F.lit(page_partitions * 8))
+    )
+    pages = pages.withColumn(
+        "raw",
+        page_extract_udf(F.struct("page_no", "width", "height", "page_html", "degenerate")),
+    ).drop("page_html", "degenerate")
+    return _assemble_pages(pages, cfg, page_partitions)
 
 
 def _page_sep() -> str:

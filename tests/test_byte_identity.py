@@ -91,3 +91,15 @@ def test_relational_tile_plan_agrees_with_kernel(spark):
     got = {r["key"]: (r["nw"], r["nh"]) for r in out.collect()}
     for key, w, h in dims:
         assert got[key] == tile_plan(w, h), (w, h)
+
+
+def test_paged_variant_byte_identity(spark, docs_df):
+    """The giant-doc page-granular path produces identical bytes."""
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents_paged
+
+    oracle = {r["url"]: r for r in run_oracle(gen_documents(60))}
+    got = {r["url"]: r for r in extract_documents_paged(docs_df).collect()}
+    assert set(got) == set(oracle)
+    for u in oracle:
+        assert got[u]["text"] == oracle[u]["text"], u
+        assert got[u]["n_vision_tokens"] == oracle[u]["n_vision_tokens"], u
