@@ -27,12 +27,24 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--n-docs", type=int, default=2000)
     ap.add_argument("--attempt", type=int, default=0)
+    ap.add_argument(
+        "--paged", action="store_true",
+        help="page-granular path for giant-document inputs (extra shuffle; "
+        "spreads one huge doc's pages across tasks)",
+    )
     args = ap.parse_args(argv)
 
     from deepseek_ocr_spark.config import EngineConfig
     from deepseek_ocr_spark.pipeline import checkpoint as ckpt
-    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
-    from deepseek_ocr_spark.pipeline.metrics import lineage_table, metrics_table
+    from deepseek_ocr_spark.pipeline.extract_job import (
+        extract_documents,
+        extract_documents_paged,
+    )
+    from deepseek_ocr_spark.pipeline.metrics import (
+        lineage_table,
+        metrics_table,
+        region_images_table,
+    )
     from deepseek_ocr_spark.pipeline.session import build_session
 
     spark = build_session(app_name="run-extract")
@@ -52,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
         docs = ckpt.pending_documents(docs, args.output)
 
     cfg = EngineConfig(mode=args.mode)
-    extracted = extract_documents(docs, cfg)
+    runner = extract_documents_paged if args.paged else extract_documents
+    extracted = runner(docs, cfg)
     ckpt.commit_run(extracted, args.output, attempt=args.attempt)
 
     final = ckpt.read_extracted_deduped(spark, args.output)
@@ -61,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     lineage_table(final).write.mode("overwrite").parquet(
         os.path.join(args.output, "lineage")
+    )
+    region_images_table(final).write.mode("overwrite").parquet(
+        os.path.join(args.output, "region_images")
     )
 
     n = final.count()

@@ -20,6 +20,7 @@ from deepseek_ocr_spark.kernels.postprocess import (
     clean_page_pdf,
     eos_keep_and_strip,
     parse_spans,
+    rescale_box,
 )
 from deepseek_ocr_spark.kernels.tiling import tile_plan
 from deepseek_ocr_spark.kernels.tokens import num_text_tokens, num_vision_tokens
@@ -52,6 +53,9 @@ def extract_url(url: str, html: bytes | str, cfg: EngineConfig = DEFAULT_CONFIG)
 
         for s in parse_spans(content):
             s["page_no"] = page["page_no"]
+            s["px1"], s["py1"], s["px2"], s["py2"] = rescale_box(
+                s["x1"], s["y1"], s["x2"], s["y2"], page["width"], page["height"]
+            )
             spans.append(s)
 
         if cfg.mode == "eval":

@@ -44,13 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from deepseek_ocr_spark.config import (
-    BASE_SIZE,
-    EOS_TOKEN,
-    IMAGE_SIZE,
-    EngineConfig,
-    DEFAULT_CONFIG,
-)
+from deepseek_ocr_spark.config import EOS_TOKEN, EngineConfig, DEFAULT_CONFIG
 from deepseek_ocr_spark.kernels.tiling import candidate_ratios
 from deepseek_ocr_spark.operators.tiling_relational import vision_tokens_col
 
@@ -202,6 +196,9 @@ def _get_kernel():
 # Stage 3 — doc-level finalize (cascade + assembly + spans + token count)
 # ---------------------------------------------------------------------------
 
+# Spans carry both the 0-999 virtual-grid coords (the model grammar) and the
+# pixel-rescaled box (O-32, image.py:97-103) — the pixel coords feed the
+# region side-output table (O-6 analog, metrics.region_images_table).
 DOC_SPAN_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -210,6 +207,10 @@ DOC_SPAN_TYPE = T.ArrayType(
             T.StructField("y1", T.IntegerType()),
             T.StructField("x2", T.IntegerType()),
             T.StructField("y2", T.IntegerType()),
+            T.StructField("px1", T.IntegerType()),
+            T.StructField("py1", T.IntegerType()),
+            T.StructField("px2", T.IntegerType()),
+            T.StructField("py2", T.IntegerType()),
             T.StructField("page_no", T.IntegerType()),
             T.StructField("ord", T.IntegerType()),
         ]
@@ -243,10 +244,15 @@ def make_finalize_udf(mode: str):
             for jdx, page in enumerate(pages if pages is not None else []):
                 content = page["content"]
                 raw_parts.append(content)
+                w, h = int(page["width"]), int(page["height"])
                 for s in pp.parse_spans(content):
+                    px1, py1, px2, py2 = pp.rescale_box(
+                        s["x1"], s["y1"], s["x2"], s["y2"], w, h
+                    )
                     spans.append(
                         (
                             s["label"], s["x1"], s["y1"], s["x2"], s["y2"],
+                            px1, py1, px2, py2,
                             int(page["page_no"]), s["ord"],
                         )
                     )
@@ -351,7 +357,9 @@ def _assemble_pages(pages: DataFrame, cfg: EngineConfig, page_partitions: int) -
     pages = pages.repartition(page_partitions, "url")
     assembled = pages.groupBy("url").agg(
         F.array_sort(
-            F.collect_list(F.when(F.col("keep"), F.struct("page_no", "content")))
+            F.collect_list(
+                F.when(F.col("keep"), F.struct("page_no", "content", "width", "height"))
+            )
         ).alias("kept_pages"),
         F.sum(F.col("keep").cast("int")).cast("int").alias("n_pages"),
         F.sum(F.when(F.col("keep"), F.col("vis_tokens")).otherwise(F.lit(0)))

@@ -37,6 +37,24 @@ def metrics_table(extracted: DataFrame) -> DataFrame:
     )
 
 
+def region_images_table(extracted: DataFrame) -> DataFrame:
+    """O-6 analog: the cropped-figure side output — one row per
+    ``<|ref|>image<|/ref|>`` span with pixel-rescaled crop box (O-32),
+    keyed (url, page_no, ord) like ``{page}_{idx}.jpg`` in the reference
+    (image.py:105-112). JPEG bytes are not materialized (codecs stubbed in
+    this sandbox; the crop box + key is the relational content)."""
+    spans = extracted.select("url", F.explode("spans").alias("s"))
+    return spans.filter(F.col("s.label") == "image").select(
+        "url",
+        F.col("s.page_no").alias("page_no"),
+        F.col("s.ord").alias("ord"),
+        F.col("s.px1").alias("px1"),
+        F.col("s.py1").alias("py1"),
+        F.col("s.px2").alias("px2"),
+        F.col("s.py2").alias("py2"),
+    )
+
+
 def lineage_table(extracted: DataFrame) -> DataFrame:
     """extracted → lineage(url, partition_id, digest) (FIXTURES.md §2)."""
     return extracted.select(

@@ -50,17 +50,32 @@ def test_counters_match(spark_vs_oracle):
 
 
 def test_spans_match(spark_vs_oracle):
+    keys = ("label", "x1", "y1", "x2", "y2", "px1", "py1", "px2", "py2", "page_no", "ord")
     oracle, got = spark_vs_oracle
     for u in oracle:
-        want = [
-            (s["label"], s["x1"], s["y1"], s["x2"], s["y2"], s["page_no"], s["ord"])
-            for s in oracle[u]["spans"]
-        ]
-        have = [
-            (s["label"], s["x1"], s["y1"], s["x2"], s["y2"], s["page_no"], s["ord"])
-            for s in got[u]["spans"]
-        ]
+        want = [tuple(s[k] for k in keys) for s in oracle[u]["spans"]]
+        have = [tuple(s[k] for k in keys) for s in got[u]["spans"]]
         assert have == want, u
+
+
+def test_region_images_side_output(spark, docs_df):
+    """O-6: the image-span crop table matches the oracle's image spans."""
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+    from deepseek_ocr_spark.pipeline.metrics import region_images_table
+
+    regions = region_images_table(extract_documents(docs_df)).collect()
+    oracle = run_oracle(gen_documents(60))
+    want = sorted(
+        (r["url"], s["page_no"], s["ord"], s["px1"], s["py1"], s["px2"], s["py2"])
+        for r in oracle
+        for s in r["spans"]
+        if s["label"] == "image"
+    )
+    have = sorted(
+        (r["url"], r["page_no"], r["ord"], r["px1"], r["py1"], r["px2"], r["py2"])
+        for r in regions
+    )
+    assert have == want and len(have) > 0
 
 
 def test_tile_plan_expr_agrees_with_kernel(spark):
