@@ -89,6 +89,34 @@ FROM planned
 """
 
 
+def q_token_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-16 budget accounting: per-doc token-sequence layout segments
+    (global grid + per-tile local grid + separator), relationally."""
+    planned = with_tile_plan(_dims_df(spark, sf_dir), ["doc_id"])
+    nw, nh = F.col("nw"), F.col("nh")
+    global_t = F.lit(_HG * (_HG + 1))
+    local_t = F.when((nw > 1) | (nh > 1), (nh * _H2) * (nw * _H2 + 1)).otherwise(F.lit(0))
+    return planned.select(
+        "doc_id",
+        global_t.cast("bigint").alias("global_tokens"),
+        local_t.cast("bigint").alias("local_tokens"),
+        (global_t + local_t + 1).cast("bigint").alias("total_tokens"),
+    )
+
+
+Q_TOKEN_LAYOUT_SQL = f"""
+WITH planned AS ({tile_plan_sql(_DIMS_SQL, ["doc_id"])})
+SELECT doc_id,
+       CAST({_HG * (_HG + 1)} AS BIGINT) AS global_tokens,
+       CAST(CASE WHEN nw > 1 OR nh > 1 THEN (nh * {_H2}) * (nw * {_H2} + 1)
+                 ELSE 0 END AS BIGINT) AS local_tokens,
+       CAST({_HG * (_HG + 1)}
+            + CASE WHEN nw > 1 OR nh > 1 THEN (nh * {_H2}) * (nw * {_H2} + 1) ELSE 0 END
+            + 1 AS BIGINT) AS total_tokens
+FROM planned
+"""
+
+
 def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the full distributed extraction pipeline over html pages
     deterministically derived from the driver documents table (kernel logic —
@@ -177,6 +205,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # extraction-core relational ops (SURVEY.md §2 ★)
     "tile_plan_argmin": (q_tile_plan_argmin, Q_TILE_PLAN_SQL),
     "vision_tokens": (q_vision_tokens, Q_VISION_TOKENS_SQL),
+    "token_layout": (q_token_layout, Q_TOKEN_LAYOUT_SQL),
+    "url_normalize": (
+        lambda s, d: textops.url_normalize(_docs(s, d)),
+        textops.URL_NORMALIZE_SQL,
+    ),
+    "per_domain_cap": (
+        lambda s, d: textops.per_domain_cap(_docs(s, d)),
+        textops.PER_DOMAIN_CAP_SQL,
+    ),
     "eos_filter": (
         lambda s, d: textops.eos_filter(_docs(s, d)),
         textops.EOS_FILTER_SQL,

@@ -370,6 +370,78 @@ SELECT doc_id, md5(array_to_string(top8, '|')) AS fingerprint FROM agg
 """
 
 
+# --- web-pipeline URL ops -------------------------------------------------------
+
+
+def url_normalize(docs: DataFrame) -> DataFrame:
+    """Canonical-url normalization (web-corpus dedup prerequisite): lowercase
+    scheme+host, strip fragment and tracking params, drop trailing slash.
+    Urls synthesized deterministically from doc_id (driver table has none)."""
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTPS://Site"), (d % 97).cast("string"),
+        F.lit(".Example.com/Path/"), d.cast("string"),
+        F.lit("/?utm_source=x&id="), (d % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    u = F.regexp_replace(raw, r"#.*$", "")
+    u = F.regexp_replace(u, r"(\?|&)utm_[^&]*", "$1")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # lowercase scheme+host only (up to the first '/')
+    head = F.lower(F.regexp_extract(u, r"^([^/]*//[^/]*)", 1))
+    tail = F.regexp_replace(u, r"^[^/]*//[^/]*", "")
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, r"/$", "")
+    return docs.select("doc_id", raw.alias("raw_url"), u.alias("norm_url"))
+
+
+URL_NORMALIZE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         'HTTPS://Site' || CAST(doc_id % 97 AS VARCHAR) || '.Example.com/Path/'
+           || CAST(doc_id AS VARCHAR) || '/?utm_source=x&id='
+           || CAST(doc_id % 7 AS VARCHAR) || '#frag' AS raw_url
+  FROM documents
+),
+s AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+                            '(\?|&)utm_[^&]*', '\1'),
+             '\?&', '?'),
+           '[?&]$', '') AS u
+  FROM t
+)
+SELECT doc_id, raw_url,
+       regexp_replace(
+         lower(regexp_extract(u, '^([^/]*//[^/]*)', 1))
+           || regexp_replace(u, '^[^/]*//[^/]*', ''),
+         '/$', '') AS norm_url
+FROM s
+"""
+
+
+def per_domain_cap(docs: DataFrame, cap: int = 10) -> DataFrame:
+    """Per-domain document cap (crawl-balance op): keep at most ``cap`` docs
+    per source, lowest doc_id first — rank window + filter."""
+    win = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= cap)
+        .select("doc_id", "source", "rnk")
+    )
+
+
+PER_DOMAIN_CAP_SQL = """
+SELECT doc_id, source, rnk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 10
+"""
+
 # --- events table: time-windowed agg (streaming-adjacent relational op) --------
 
 
