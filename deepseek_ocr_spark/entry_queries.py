@@ -230,6 +230,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: textops.metrics_rollup(_docs(s, d)),
         textops.METRICS_ROLLUP_SQL,
     ),
+    # salted two-phase agg MUST give byte-identical results to the plain agg
+    "metrics_rollup_salted": (
+        lambda s, d: textops.metrics_rollup_salted(_docs(s, d)),
+        textops.METRICS_ROLLUP_SQL,
+    ),
     "span_extract": (
         lambda s, d: textops.span_extract(_docs(s, d)),
         textops.SPAN_EXTRACT_SQL,

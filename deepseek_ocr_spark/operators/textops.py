@@ -97,6 +97,24 @@ SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
 FROM documents GROUP BY lang
 """
 
+def metrics_rollup_salted(docs: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Same result as ``metrics_rollup`` via explicit two-phase salted
+    aggregation — the hot-key pattern for skewed groupBy at 10^12-doc scale:
+    phase 1 aggregates on (lang, salt) spreading a hot language across
+    ``n_salts`` reducers, phase 2 merges the partials. Exact same oracle as
+    metrics_rollup (salting must not change results)."""
+    salted = docs.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(n_salts)))
+    partial = salted.groupBy("lang", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_chars").alias("_chars"),
+    )
+    return partial.groupBy("lang").agg(
+        F.sum("_n").alias("n_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.round(F.sum("_chars").cast("double") / F.sum("_n"), 4).alias("avg_chars"),
+    )
+
+
 # --- O-30: regex span extraction ---------------------------------------------
 
 SPAN_PATTERN = "(data|spark|table)"
