@@ -35,7 +35,7 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v)  # full precision — strictest possible float compare
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     return str(v)
