@@ -230,6 +230,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: textops.metrics_rollup(_docs(s, d)),
         textops.METRICS_ROLLUP_SQL,
     ),
+    "metrics_cube": (
+        lambda s, d: textops.metrics_cube(_docs(s, d)),
+        textops.METRICS_CUBE_SQL,
+    ),
     # salted two-phase agg MUST give byte-identical results to the plain agg
     "metrics_rollup_salted": (
         lambda s, d: textops.metrics_rollup_salted(_docs(s, d)),

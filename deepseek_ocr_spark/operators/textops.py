@@ -97,6 +97,38 @@ SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
 FROM documents GROUP BY lang
 """
 
+def metrics_cube(docs: DataFrame) -> DataFrame:
+    """CUBE(lang, source-class) metrics — grouping-sets coverage (SURVEY.md
+    §2.5 note). NULL grouping keys are the roll-up rows; coalesced to 'ALL'
+    so the oracle comparison is unambiguous."""
+    cls = F.when(F.col("doc_id") % 20 < 14, "small").otherwise("bulk").alias("size_class")
+    return (
+        docs.select("lang", cls, "n_chars")
+        .cube("lang", "size_class")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("size_class"), F.lit("ALL")).alias("size_class"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+METRICS_CUBE_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(size_class, 'ALL') AS size_class,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM (
+  SELECT lang,
+         CASE WHEN doc_id % 20 < 14 THEN 'small' ELSE 'bulk' END AS size_class,
+         n_chars
+  FROM documents
+)
+GROUP BY CUBE(lang, size_class)
+"""
+
+
 def metrics_rollup_salted(docs: DataFrame, n_salts: int = 8) -> DataFrame:
     """Same result as ``metrics_rollup`` via explicit two-phase salted
     aggregation — the hot-key pattern for skewed groupBy at 10^12-doc scale:
