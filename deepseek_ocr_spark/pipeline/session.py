@@ -32,7 +32,9 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # micro-batch size for iterator pandas UDFs — the max_num_seqs analog
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # (measured: 1024 ≈ 4096 > 256 by ~8% on the extraction stage; a GPU
+        # kernel would tune this down toward its concurrency limit)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # 128 MB scan splits: sane parquet split size at cluster scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -37,3 +37,62 @@ def test_stream_extract_available_now(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert ckpt.read_extracted_deduped(spark, out_base).count() == 30
+
+
+def test_windowed_event_stream_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window streaming agg == batch events_hourly
+    (complete mode re-emits every window, so arrival order is irrelevant)."""
+    from deepseek_ocr_spark.streaming.windowed import (
+        stream_events_hourly,
+        stream_events_hourly_complete,
+    )
+    from deepseek_ocr_spark.operators.textops import events_hourly
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "in")
+    events.repartition(4).write.parquet(in_dir)
+
+    q = stream_events_hourly_complete(spark, in_dir, "win_complete")
+    q.awaitTermination(300)
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from win_complete").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_hourly(events).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_windowed_append_mode_late_data_policy(spark, tmp_path):
+    """Append mode: only watermark-finalized windows emit; with unordered
+    historical replay and a small watermark, late rows drop by design —
+    emitted windows must still be a consistent subset of the batch result."""
+    from deepseek_ocr_spark.streaming.windowed import stream_events_hourly
+    from deepseek_ocr_spark.operators.textops import events_hourly
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    # single file + single trigger: arrival is one batch, no late data;
+    # windows older than max(ts) - watermark finalize and emit
+    events.coalesce(1).write.parquet(in_dir)
+    q = stream_events_hourly(spark, in_dir, out_dir, ck,
+                             max_files_per_trigger=10, watermark="2 hours")
+    q.awaitTermination(300)
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_hourly(events).collect()
+    }
+    assert len(got) > 0
+    assert all(want.get(k) == v for k, v in got.items())  # emitted ⊆ batch
+    # only the watermark tail may be missing
+    max_emitted = max(k[0] for k in got)
+    missing = [k for k in want if k not in got]
+    assert all(k[0] > max_emitted or (max(w[0] for w in want) == k[0]) for k in missing) or len(missing) < len(want) * 0.05
