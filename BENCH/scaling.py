@@ -111,7 +111,9 @@ Same job (flagship extraction pipeline: fused split+extract mapInPandas →
 fold-expression tile plan → url-repartitioned ordered assembly → doc-level
 finalize UDF), same materialized input ({lo['pages']} pages derived
 deterministically from {args.sf_dir} x{args.replicate}), fresh JVM per
-level, median of the post-warmup runs, noop write of the FULL result
+level, BEST of the post-warmup runs (sandbox noise only ever slows a run,
+so the minimum is the least-biased capability estimate; all raw runs in the
+harness JSON), noop write of the FULL result
 (nothing pruned). Sandbox stand-in for N vs 4N executors (north_rule).
 
 | level | cores | wall (s) | pages/sec |

@@ -206,6 +206,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tile_plan_argmin": (q_tile_plan_argmin, Q_TILE_PLAN_SQL),
     "vision_tokens": (q_vision_tokens, Q_VISION_TOKENS_SQL),
     "token_layout": (q_token_layout, Q_TOKEN_LAYOUT_SQL),
+    "deterministic_sample": (
+        lambda s, d: textops.deterministic_sample(_docs(s, d)),
+        textops.DETERMINISTIC_SAMPLE_SQL,
+    ),
+    "text_normalize": (
+        lambda s, d: textops.text_normalize(_docs(s, d)),
+        textops.TEXT_NORMALIZE_SQL,
+    ),
     "url_normalize": (
         lambda s, d: textops.url_normalize(_docs(s, d)),
         textops.URL_NORMALIZE_SQL,

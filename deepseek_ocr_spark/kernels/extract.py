@@ -36,6 +36,14 @@ DEFAULT_WIDTH = 1190
 DEFAULT_HEIGHT = 1684
 
 BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "script", "style"})
+
+# HTML void elements never emit an end tag — they must not affect any
+# depth counter (an unclosed <img> inside <nav> would otherwise desync the
+# boilerplate skip and swallow the rest of the page).
+VOID_TAGS = frozenset(
+    {"img", "br", "hr", "meta", "link", "input", "source", "area",
+     "base", "col", "embed", "track", "wbr"}
+)
 BOILERPLATE_CLASS_HINTS = ("sidebar", "banner", "cookie", "menu", "advert", "promo")
 
 BLOCK_LABELS = {
@@ -50,6 +58,15 @@ BLOCK_LABELS = {
     "img": "image",
     "blockquote": "text",
 }
+
+
+def _int_attr(attrs: dict, key: str, default: int) -> int:
+    """Malformed attribute values (data-width="12px") fall back to the
+    default instead of crashing the parse."""
+    try:
+        return int(attrs.get(key, default))
+    except (TypeError, ValueError):
+        return default
 
 
 @dataclass
@@ -69,12 +86,15 @@ import re as _re
 # of the split stage at bench scale. Heuristic limits (documented): assumes
 # '>' does not appear inside attribute values of div tags.
 _DIV_TAG_RE = _re.compile(r"<div\b[^>]*>|</div\s*>", _re.IGNORECASE)
-_CLASS_PAGE_RE = _re.compile(r"class\s*=\s*\"[^\"]*\bpage\b[^\"]*\"", _re.IGNORECASE)
+# attribute values may be double- or single-quoted
+_CLASS_PAGE_RE = _re.compile(
+    r"class\s*=\s*(?:\"[^\"]*\bpage\b[^\"]*\"|'[^']*\bpage\b[^']*')", _re.IGNORECASE
+)
 _ATTR_RES = {
-    "page": _re.compile(r"data-page\s*=\s*\"(\d+)\""),
-    "width": _re.compile(r"data-width\s*=\s*\"(\d+)\""),
-    "height": _re.compile(r"data-height\s*=\s*\"(\d+)\""),
-    "degen": _re.compile(r"data-degenerate\s*=\s*\"1\""),
+    "page": _re.compile(r"data-page\s*=\s*[\"'](\d+)[\"']"),
+    "width": _re.compile(r"data-width\s*=\s*[\"'](\d+)[\"']"),
+    "height": _re.compile(r"data-height\s*=\s*[\"'](\d+)[\"']"),
+    "degen": _re.compile(r"data-degenerate\s*=\s*[\"']1[\"']"),
 }
 
 
@@ -98,9 +118,9 @@ class _PageSplitter(HTMLParser):
             a = dict(attrs)
             if "page" in (a.get("class") or "").split():
                 self._cur = PageRecord(
-                    page_no=int(a.get("data-page", len(self.pages))),
-                    width=int(a.get("data-width", DEFAULT_WIDTH)),
-                    height=int(a.get("data-height", DEFAULT_HEIGHT)),
+                    page_no=_int_attr(a, "data-page", len(self.pages)),
+                    width=_int_attr(a, "data-width", DEFAULT_WIDTH),
+                    height=_int_attr(a, "data-height", DEFAULT_HEIGHT),
                     html="",
                     degenerate=a.get("data-degenerate") == "1",
                 )
@@ -219,7 +239,8 @@ class _BlockExtractor(HTMLParser):
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
         if self._skip_depth:
-            self._skip_depth += 1
+            if tag not in VOID_TAGS:
+                self._skip_depth += 1
             return
         if self._is_boilerplate(tag, a):
             self._skip_depth = 1

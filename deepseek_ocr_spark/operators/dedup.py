@@ -29,17 +29,21 @@ SHINGLE_WIDTH = 3
 
 
 def _shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Word 3-gram shingles, one row per (doc, shingle)."""
+    """Word 3-gram shingles, one row per (doc, shingle).
+
+    Docs with fewer than 3 tokens yield zero shingles (matching the SQL
+    oracle's empty range) — guarded with CASE because
+    ``sequence(0, size-3)`` would otherwise produce a DESCENDING array for
+    short docs and ``slice(l, 0, 3)`` throws."""
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("l"))
-    return toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("l") - SHINGLE_WIDTH, F.lit(-1))),
-                lambda i: F.concat_ws(" ", F.slice("l", i + 1, SHINGLE_WIDTH)),
-            )
-        ).alias("shingle"),
-    )
+    shingles = F.when(
+        F.size("l") >= SHINGLE_WIDTH,
+        F.transform(
+            F.sequence(F.lit(0), F.size("l") - SHINGLE_WIDTH),
+            lambda i: F.concat_ws(" ", F.slice("l", i + 1, SHINGLE_WIDTH)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(id_col, F.explode(shingles).alias("shingle"))
 
 
 def shingles_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:

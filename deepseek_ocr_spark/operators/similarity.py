@@ -47,8 +47,9 @@ def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame
     Returns (vec_id, cos) — the query vector itself excluded, ties broken by
     vec_id for determinism.
     """
-    spark = emb.sparkSession
     qrow = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found in embeddings")
     q = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
     e = F.col("embedding")
     cos = _dot(e, q) / (_norm(e) * _norm(q))
@@ -165,7 +166,10 @@ def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10, dim: int = 
     """ANN: restrict the cosine scan to the query's LSH bucket (the scale
     path — each probe reads one bucket partition instead of the corpus)."""
     buckets = lsh_buckets(emb, dim)
-    qb = buckets.filter(F.col("vec_id") == query_vec_id).head()["bucket"]
+    qrow = buckets.filter(F.col("vec_id") == query_vec_id).head()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found in embeddings")
+    qb = qrow["bucket"]
     cands = buckets.filter((F.col("bucket") == qb) & (F.col("vec_id") != query_vec_id))
     scored = cosine_topk(
         emb.join(cands.select("vec_id"), "vec_id", "inner").unionByName(

@@ -420,6 +420,38 @@ SELECT doc_id, md5(array_to_string(top8, '|')) AS fingerprint FROM agg
 """
 
 
+def deterministic_sample(docs: DataFrame, pct: int = 10) -> DataFrame:
+    """Reproducible corpus sampling (training-data splits must be stable
+    across reruns/engines): keep docs where md5(doc_id) lands in the first
+    ``pct``% of hash space — unlike rand()-based sampling this is exactly
+    replayable and oracle-checkable."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("bigint")
+    return docs.filter(bucket % 100 < pct).select("doc_id", "lang", "source")
+
+
+DETERMINISTIC_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)) % 100 < 10
+"""
+
+
+def text_normalize(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization (dedup/quality prerequisite): lowercase,
+    collapse whitespace runs, trim."""
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.trim(t)
+    return docs.select("doc_id", t.alias("norm_text"), F.length(t).alias("norm_len"))
+
+
+TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
+FROM documents
+"""
+
+
 # --- web-pipeline URL ops -------------------------------------------------------
 
 

@@ -28,7 +28,9 @@ from deepseek_ocr_spark.kernels.tokens import num_text_tokens, num_vision_tokens
 
 def extract_url(url: str, html: bytes | str, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
     """One document end-to-end → the `extracted` row (FIXTURES.md §2)."""
-    if isinstance(html, (bytes, bytearray)):
+    if html is None:
+        html = ""  # null body → empty doc (matches the Spark UDF guard)
+    elif isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     pages = extract_document(html)
 

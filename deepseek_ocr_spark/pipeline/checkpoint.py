@@ -35,11 +35,18 @@ def extracted_path(base: str) -> str:
 
 
 def read_manifest(spark: SparkSession, base: str) -> DataFrame | None:
+    """None only when no manifest EXISTS yet — a corrupt/unreadable manifest
+    must propagate, not silently disable resume (which would reprocess the
+    full corpus and append duplicates)."""
+    from pyspark.errors import AnalysisException
+
     p = manifest_path(base)
     try:
         return spark.read.parquet(p)
-    except Exception:
-        return None
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
 
 
 def pending_documents(docs: DataFrame, base: str) -> DataFrame:
@@ -57,10 +64,17 @@ def commit_run(extracted: DataFrame, base: str, attempt: int = 0) -> None:
     out = extracted.withColumn("partition_id", F.spark_partition_id()).withColumn(
         "attempt", F.lit(attempt)
     ).withColumn("completed_ts", F.current_timestamp())
-    out.write.mode("append").parquet(extracted_path(base))
-    out.select("url", "digest", "partition_id", "attempt", "completed_ts").write.mode(
-        "append"
-    ).parquet(manifest_path(base))
+    # persist: without it the manifest append would RE-RUN the whole
+    # extraction pipeline (uncached lineage) — 2x wall clock — and evaluate
+    # current_timestamp()/partition ids independently of the extracted rows
+    out = out.persist()
+    try:
+        out.write.mode("append").parquet(extracted_path(base))
+        out.select(
+            "url", "digest", "partition_id", "attempt", "completed_ts"
+        ).write.mode("append").parquet(manifest_path(base))
+    finally:
+        out.unpersist()
 
 
 def read_extracted_deduped(spark: SparkSession, base: str) -> DataFrame:

@@ -56,6 +56,7 @@ PAGES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
         T.StructField("page_no", T.IntegerType()),
+        T.StructField("seq", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("page_html", T.StringType()),
@@ -68,13 +69,16 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from deepseek_ocr_spark.kernels.extract import split_pages
 
     for pdf in batches:
-        out = {k: [] for k in ("url", "page_no", "width", "height", "page_html", "degenerate")}
+        out = {k: [] for k in ("url", "page_no", "seq", "width", "height", "page_html", "degenerate")}
         for url, html in zip(pdf["url"], pdf["html"]):
-            if isinstance(html, (bytes, bytearray, memoryview)):
+            if html is None:
+                html = ""
+            elif isinstance(html, (bytes, bytearray, memoryview)):
                 html = bytes(html).decode("utf-8", errors="replace")
-            for rec in split_pages(html):
+            for seq, rec in enumerate(split_pages(html)):
                 out["url"].append(url)
                 out["page_no"].append(rec.page_no)
+                out["seq"].append(seq)
                 out["width"].append(rec.width)
                 out["height"].append(rec.height)
                 out["page_html"].append(rec.html)
@@ -96,6 +100,7 @@ EXTRACTED_PAGES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
         T.StructField("page_no", T.IntegerType()),
+        T.StructField("seq", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("raw", T.StringType()),
@@ -106,13 +111,16 @@ EXTRACTED_PAGES_SCHEMA = T.StructType(
 def _split_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     kernel = _get_kernel()
     for pdf in batches:
-        out = {k: [] for k in ("url", "page_no", "width", "height", "raw")}
+        out = {k: [] for k in ("url", "page_no", "seq", "width", "height", "raw")}
         for url, html in zip(pdf["url"], pdf["html"]):
-            if isinstance(html, (bytes, bytearray, memoryview)):
+            if html is None:
+                html = ""  # null body → empty doc, same as the oracle
+            elif isinstance(html, (bytes, bytearray, memoryview)):
                 html = bytes(html).decode("utf-8", errors="replace")
-            for rec in kernel.split_pages(html):
+            for seq, rec in enumerate(kernel.split_pages(html)):
                 out["url"].append(url)
                 out["page_no"].append(rec.page_no)
+                out["seq"].append(seq)
                 out["width"].append(rec.width)
                 out["height"].append(rec.height)
                 out["raw"].append(kernel.extract_page(rec))
@@ -357,8 +365,15 @@ def _assemble_pages(pages: DataFrame, cfg: EngineConfig, page_partitions: int) -
     pages = pages.repartition(page_partitions, "url")
     assembled = pages.groupBy("url").agg(
         F.array_sort(
+            # sort key (page_no, seq): seq is the split-order position, so
+            # duplicate page_no values keep document order exactly like the
+            # oracle's stable sort — struct comparison must never fall
+            # through to content
             F.collect_list(
-                F.when(F.col("keep"), F.struct("page_no", "content", "width", "height"))
+                F.when(
+                    F.col("keep"),
+                    F.struct("page_no", "seq", "content", "width", "height"),
+                )
             )
         ).alias("kept_pages"),
         F.sum(F.col("keep").cast("int")).cast("int").alias("n_pages"),

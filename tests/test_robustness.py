@@ -43,3 +43,89 @@ def test_tile_plan_fuzz_extreme_dims(w, h):
     assert 1 <= nw * nh <= 6
     if w <= 640 and h <= 640:
         assert (nw, nh) == (1, 1)
+
+
+def test_short_doc_shingle_ops_no_crash(spark):
+    """Docs with <3 tokens must yield zero shingles, not crash (regression:
+    sequence(0, size-3) produced a descending array and slice threw)."""
+    from deepseek_ocr_spark.operators.dedup import (
+        _shingles, dedup_minhash_pairs, minhash_signatures)
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c"), (4, "x")],
+        "doc_id long, text string",
+    )
+    sh = {(r["doc_id"], r["shingle"]) for r in _shingles(docs).collect()}
+    assert sh == {(3, "a b c")}
+    assert minhash_signatures(docs).count() == 1  # only the 3-token doc
+    dedup_minhash_pairs(docs).count()  # no crash
+
+
+def test_duplicate_page_no_keeps_document_order(spark):
+    """Regression: assembly must not tie-break duplicate page_no on content."""
+    from deepseek_ocr_spark.oracle.runner import extract_url
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+
+    html = (
+        b'<div class="page" data-page="0"><p>zebra text first</p></div>'
+        b'<div class="page" data-page="0"><p>apple text second</p></div>'
+    )
+    docs = spark.createDataFrame([("u://dup", html)], "url string, html binary")
+    got = extract_documents(docs).collect()[0]
+    want = extract_url("u://dup", html)
+    assert got["text"] == want["text"]
+    assert got["text"].find("zebra") < got["text"].find("apple")
+
+
+def test_void_tag_in_boilerplate_does_not_swallow_content():
+    """Regression: unclosed <img> inside <nav> desynced the skip depth."""
+    from deepseek_ocr_spark.kernels.extract import PageRecord, extract_page
+
+    raw = extract_page(PageRecord(
+        0, 800, 600,
+        '<div class="page" data-page="0"><nav><img src="x"><p>menu</p></nav>'
+        '<p>REAL CONTENT</p></div>', False))
+    assert "REAL CONTENT" in raw
+    assert "menu" not in raw
+
+
+def test_single_quoted_page_div_is_split():
+    """Regression: fast splitter only accepted double-quoted attributes."""
+    from deepseek_ocr_spark.kernels.extract import split_pages
+
+    pages = split_pages(
+        "<div class='page' data-page='0' data-width='1920' data-height='1080'>"
+        "<p>x</p></div><div class='page' data-page='1'><p>y</p></div>"
+    )
+    assert [(p.page_no, p.width) for p in pages] == [(0, 1920), (1, 1190)]
+
+
+def test_malformed_attr_values_fall_back():
+    from deepseek_ocr_spark.kernels.extract import _split_pages_htmlparser
+
+    pages = _split_pages_htmlparser(
+        '<div class="page" data-page="x" data-width="12px"><p>a</p></div>'
+    )
+    assert pages[0].page_no == 0 and pages[0].width == 1190
+
+
+def test_null_html_rows(spark):
+    """Null html body → empty doc, same in Spark and oracle."""
+    from deepseek_ocr_spark.oracle.runner import extract_url
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+
+    docs = spark.createDataFrame(
+        [("u://null", None), ("u://ok", b"<p>hi</p>")], "url string, html binary"
+    )
+    got = {r["url"]: r for r in extract_documents(docs).collect()}
+    assert got["u://null"]["text"] == extract_url("u://null", None)["text"]
+    assert "hi" in got["u://ok"]["text"]
+
+
+def test_missing_query_vec_id_clear_error(spark):
+    from deepseek_ocr_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not found"):
+        cosine_topk(emb, query_vec_id=10**9)
