@@ -60,11 +60,21 @@ BLOCK_LABELS = {
 }
 
 
+_INT32_MAX = 2**31 - 1
+
+
+def _clamp_i32(v: int, default: int) -> int:
+    """Attribute values must fit the engine's int32 page schema — a hostile
+    data-page="6442450944" would otherwise pass Python int() but crash the
+    Arrow conversion, killing the whole batch job while the oracle succeeds."""
+    return v if 0 <= v <= _INT32_MAX else default
+
+
 def _int_attr(attrs: dict, key: str, default: int) -> int:
     """Malformed attribute values (data-width="12px") fall back to the
     default instead of crashing the parse."""
     try:
-        return int(attrs.get(key, default))
+        return _clamp_i32(int(attrs.get(key, default)), default)
     except (TypeError, ValueError):
         return default
 
@@ -150,7 +160,7 @@ class _PageSplitter(HTMLParser):
             self._buf.append(data)
 
 
-def split_pages(html: str) -> list[PageRecord]:
+def split_pages(html: str | bytes | None) -> list[PageRecord]:
     """Document → ordered page sections (the O-2 fan-out analog).
 
     Fast div-scan splitter (see _DIV_TAG_RE note); shared verbatim by the
@@ -158,7 +168,15 @@ def split_pages(html: str) -> list[PageRecord]:
     sections are one page whose section is the whole document. Falls back
     to the HTMLParser-based splitter when the div nesting is unbalanced
     (malformed HTML), so behavior degrades identically in both engines.
+
+    Input normalization lives HERE (the shared kernel), not in callers:
+    None → empty doc; bytes → utf-8 with replacement. Forking that guard
+    per call site is how the engines drift apart.
     """
+    if html is None:
+        html = ""
+    elif isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
     pages: list[PageRecord] = []
     depth = 0
     start = -1
@@ -192,11 +210,11 @@ def split_pages(html: str) -> list[PageRecord]:
 
 def _page_record(open_tag: str, section: str, default_no: int) -> PageRecord:
     m = _ATTR_RES["page"].search(open_tag)
-    page_no = int(m.group(1)) if m else default_no
+    page_no = _clamp_i32(int(m.group(1)), default_no) if m else default_no
     m = _ATTR_RES["width"].search(open_tag)
-    width = int(m.group(1)) if m else DEFAULT_WIDTH
+    width = _clamp_i32(int(m.group(1)), DEFAULT_WIDTH) if m else DEFAULT_WIDTH
     m = _ATTR_RES["height"].search(open_tag)
-    height = int(m.group(1)) if m else DEFAULT_HEIGHT
+    height = _clamp_i32(int(m.group(1)), DEFAULT_HEIGHT) if m else DEFAULT_HEIGHT
     return PageRecord(
         page_no, width, height, section, _ATTR_RES["degen"].search(open_tag) is not None
     )
@@ -276,7 +294,10 @@ class _BlockExtractor(HTMLParser):
 
     def handle_endtag(self, tag):
         if self._skip_depth:
-            self._skip_depth -= 1
+            # symmetric with handle_starttag: explicit </img>/</br> closers
+            # (common in XML-serialized html) must not end the skip early
+            if tag not in VOID_TAGS:
+                self._skip_depth -= 1
             return
         if self._block_tag is None:
             return
@@ -413,7 +434,7 @@ def extract_page(page: PageRecord, max_tokens: int = MAX_OUTPUT_TOKENS) -> str:
     return raw + EOS_TOKEN
 
 
-def extract_document(html: str) -> list[dict]:
+def extract_document(html: str | bytes | None) -> list[dict]:
     """Whole document → ordered per-page raw outputs + dims + tile plan inputs.
 
     Returned dicts: page_no, width, height, raw (grounded markdown).

@@ -98,17 +98,26 @@ FROM documents GROUP BY lang
 """
 
 def metrics_cube(docs: DataFrame) -> DataFrame:
-    """CUBE(lang, source-class) metrics — grouping-sets coverage (SURVEY.md
-    §2.5 note). NULL grouping keys are the roll-up rows; coalesced to 'ALL'
-    so the oracle comparison is unambiguous."""
+    """CUBE(lang, size_class) metrics — grouping-sets coverage (SURVEY.md
+    §2.5 note). Subtotal rows are marked via GROUPING() — not by coalescing
+    NULL keys, which would conflate genuine NULL-valued groups with
+    roll-ups."""
     cls = F.when(F.col("doc_id") % 20 < 14, "small").otherwise("bulk").alias("size_class")
     return (
         docs.select("lang", cls, "n_chars")
         .cube("lang", "size_class")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            # grouping() is only valid inside the cube aggregation itself
+            F.grouping("lang").alias("_gl"),
+            F.grouping("size_class").alias("_gs"),
+        )
         .select(
-            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
-            F.coalesce(F.col("size_class"), F.lit("ALL")).alias("size_class"),
+            F.when(F.col("_gl") == 1, F.lit("ALL")).otherwise(F.col("lang")).alias("lang"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("size_class"))
+            .alias("size_class"),
             "n_docs",
             "total_chars",
         )
@@ -116,8 +125,8 @@ def metrics_cube(docs: DataFrame) -> DataFrame:
 
 
 METRICS_CUBE_SQL = """
-SELECT coalesce(lang, 'ALL') AS lang,
-       coalesce(size_class, 'ALL') AS size_class,
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CASE WHEN GROUPING(size_class) = 1 THEN 'ALL' ELSE size_class END AS size_class,
        count(*) AS n_docs, sum(n_chars) AS total_chars
 FROM (
   SELECT lang,
@@ -435,19 +444,24 @@ WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)) % 1
 """
 
 
+# explicit whitespace class: Java's \s and RE2's \s disagree on \x0B
+# (vertical tab), which would silently break Spark↔DuckDB parity
+_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+
 def text_normalize(docs: DataFrame) -> DataFrame:
     """Canonical text normalization (dedup/quality prerequisite): lowercase,
     collapse whitespace runs, trim."""
     t = F.lower(F.col("text"))
-    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.regexp_replace(t, _WS_CLASS, " ")
     t = F.trim(t)
     return docs.select("doc_id", t.alias("norm_text"), F.length(t).alias("norm_len"))
 
 
-TEXT_NORMALIZE_SQL = r"""
+TEXT_NORMALIZE_SQL = rf"""
 SELECT doc_id,
-       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
+       trim(regexp_replace(lower(text), '{_WS_CLASS}', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(lower(text), '{_WS_CLASS}', ' ', 'g'))) AS norm_len
 FROM documents
 """
 

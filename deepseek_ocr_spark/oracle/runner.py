@@ -27,11 +27,8 @@ from deepseek_ocr_spark.kernels.tokens import num_text_tokens, num_vision_tokens
 
 
 def extract_url(url: str, html: bytes | str, cfg: EngineConfig = DEFAULT_CONFIG) -> dict:
-    """One document end-to-end → the `extracted` row (FIXTURES.md §2)."""
-    if html is None:
-        html = ""  # null body → empty doc (matches the Spark UDF guard)
-    elif isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+    """One document end-to-end → the `extracted` row (FIXTURES.md §2).
+    None/bytes html normalization happens inside the shared kernel."""
     pages = extract_document(html)
 
     raw_parts: list[str] = []

@@ -44,7 +44,12 @@ def read_manifest(spark: SparkSession, base: str) -> DataFrame | None:
     try:
         return spark.read.parquet(p)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc):
+        cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+        # PATH_NOT_FOUND: no manifest yet. UNABLE_TO_INFER_SCHEMA: the dir
+        # exists but holds no committed parquet (manifest write crashed
+        # mid-commit) — also "no manifest", and reprocessing is safe because
+        # read_extracted_deduped dedupes replays.
+        if cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             return None
         raise
 

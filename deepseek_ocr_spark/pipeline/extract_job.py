@@ -71,10 +71,7 @@ def _split_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in ("url", "page_no", "seq", "width", "height", "page_html", "degenerate")}
         for url, html in zip(pdf["url"], pdf["html"]):
-            if html is None:
-                html = ""
-            elif isinstance(html, (bytes, bytearray, memoryview)):
-                html = bytes(html).decode("utf-8", errors="replace")
+            # null/bytes normalization happens inside the shared kernel
             for seq, rec in enumerate(split_pages(html)):
                 out["url"].append(url)
                 out["page_no"].append(rec.page_no)
@@ -113,10 +110,7 @@ def _split_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
     for pdf in batches:
         out = {k: [] for k in ("url", "page_no", "seq", "width", "height", "raw")}
         for url, html in zip(pdf["url"], pdf["html"]):
-            if html is None:
-                html = ""  # null body → empty doc, same as the oracle
-            elif isinstance(html, (bytes, bytearray, memoryview)):
-                html = bytes(html).decode("utf-8", errors="replace")
+            # null/bytes normalization happens inside the shared kernel
             for seq, rec in enumerate(kernel.split_pages(html)):
                 out["url"].append(url)
                 out["page_no"].append(rec.page_no)

@@ -38,6 +38,10 @@ def build_session(
         # 128 MB scan splits: sane parquet split size at cluster scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # pin the session timezone: F.window() aligns to epoch/UTC while
+        # date_trunc uses the session zone — on a non-whole-hour-offset host
+        # the two would bucket differently
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -44,6 +44,16 @@ def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def _read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int
+) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
 def stream_events_hourly(
     spark: SparkSession,
     events_dir: str,
@@ -57,11 +67,7 @@ def stream_events_hourly(
     files therefore needs a watermark larger than the files' time disorder —
     that's the knob, not a bug (observed: a 2h watermark over randomly-
     partitioned history silently dropped most rows)."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_dir)
-    )
+    stream = _read_events_stream(spark, events_dir, max_files_per_trigger)
     windowed = windowed_event_counts(stream, watermark)
     return (
         windowed.writeStream.format("parquet")
@@ -85,11 +91,7 @@ def stream_events_hourly_complete(
     arrival order — the correctness harness for the windowed plan. Append
     mode (above) is the production shape; its watermark governs what has
     been finalized at any point in the stream."""
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_dir)
-    )
+    stream = _read_events_stream(spark, events_dir, max_files_per_trigger)
     return (
         windowed_event_counts(stream, watermark)
         .writeStream.format("memory")

@@ -92,7 +92,12 @@ def test_windowed_append_mode_late_data_policy(spark, tmp_path):
     }
     assert len(got) > 0
     assert all(want.get(k) == v for k, v in got.items())  # emitted ⊆ batch
-    # only the watermark tail may be missing
-    max_emitted = max(k[0] for k in got)
-    missing = [k for k in want if k not in got]
-    assert all(k[0] > max_emitted or (max(w[0] for w in want) == k[0]) for k in missing) or len(missing) < len(want) * 0.05
+    # the EXACT policy: append mode emits a window once the watermark passes
+    # its end, so after the single batch the missing set must be precisely
+    # the windows whose end > max(ts) - watermark (the unfinalized tail)
+    from datetime import timedelta
+
+    max_ts = events.agg({"ts": "max"}).collect()[0][0]
+    threshold = max_ts - timedelta(hours=2)
+    expected_missing = {k for k in want if k[0] + timedelta(hours=1) > threshold}
+    assert set(want) - set(got) == expected_missing
