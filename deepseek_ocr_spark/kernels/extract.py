@@ -79,6 +79,21 @@ def _int_attr(attrs: dict, key: str, default: int) -> int:
         return default
 
 
+def _clamp_dim(v: int, default: int) -> int:
+    """Page dimensions additionally exclude 0: a hostile data-height="0"
+    would reach tile planning and raise ZeroDivisionError in the oracle and
+    DIVIDE_BY_ZERO under Spark ANSI mode, killing the whole batch (page_no
+    may legitimately be 0, so this is dims-specific)."""
+    return v if 1 <= v <= _INT32_MAX else default
+
+
+def _dim_attr(attrs: dict, key: str, default: int) -> int:
+    try:
+        return _clamp_dim(int(attrs.get(key, default)), default)
+    except (TypeError, ValueError):
+        return default
+
+
 @dataclass
 class PageRecord:
     page_no: int
@@ -129,8 +144,8 @@ class _PageSplitter(HTMLParser):
             if "page" in (a.get("class") or "").split():
                 self._cur = PageRecord(
                     page_no=_int_attr(a, "data-page", len(self.pages)),
-                    width=_int_attr(a, "data-width", DEFAULT_WIDTH),
-                    height=_int_attr(a, "data-height", DEFAULT_HEIGHT),
+                    width=_dim_attr(a, "data-width", DEFAULT_WIDTH),
+                    height=_dim_attr(a, "data-height", DEFAULT_HEIGHT),
                     html="",
                     degenerate=a.get("data-degenerate") == "1",
                 )
@@ -212,9 +227,9 @@ def _page_record(open_tag: str, section: str, default_no: int) -> PageRecord:
     m = _ATTR_RES["page"].search(open_tag)
     page_no = _clamp_i32(int(m.group(1)), default_no) if m else default_no
     m = _ATTR_RES["width"].search(open_tag)
-    width = _clamp_i32(int(m.group(1)), DEFAULT_WIDTH) if m else DEFAULT_WIDTH
+    width = _clamp_dim(int(m.group(1)), DEFAULT_WIDTH) if m else DEFAULT_WIDTH
     m = _ATTR_RES["height"].search(open_tag)
-    height = _clamp_i32(int(m.group(1)), DEFAULT_HEIGHT) if m else DEFAULT_HEIGHT
+    height = _clamp_dim(int(m.group(1)), DEFAULT_HEIGHT) if m else DEFAULT_HEIGHT
     return PageRecord(
         page_no, width, height, section, _ATTR_RES["degen"].search(open_tag) is not None
     )

@@ -35,10 +35,14 @@ def candidate_ratios(min_crops: int = MIN_CROPS, max_crops: int = MAX_CROPS) -> 
     CPython's set iteration order for small int tuples is insertion-order-
     dependent but ``sorted`` is stable, so equal-area candidates keep set
     order — which for these small tuples is deterministic per interpreter.
-    To be interpreter-independent we sort by (area, i, j): verified to pick
-    identical winners because the argmin scan below only depends on the
-    relative order of equal-area candidates through the diff comparison,
-    and equal-area candidates with equal diff also tie on the area check.
+    To be interpreter-independent we sort by (area, i, j). NOTE: this
+    equivalence is EMPIRICAL for the default (2,6) candidate set — in
+    general the scan winner among equal-area equal-diff candidates does
+    depend on their relative order (last wins when the area check passes,
+    first wins when it fails). A dense grid probe over integer dims found
+    no divergence for this candidate set (tests/test_tiling.py exercises
+    the fuzz surface); a different (min,max) crop range would need its own
+    probe before trusting the (area, i, j) order.
     """
     cands = {
         (i, j)

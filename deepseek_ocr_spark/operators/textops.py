@@ -91,8 +91,11 @@ def metrics_rollup(docs: DataFrame) -> DataFrame:
     )
 
 
+# DuckDB sum(INTEGER) yields HUGEINT (Arrow decimal128) while Spark yields
+# bigint; the driver's value hash is dtype-sensitive, so the oracle casts.
 METRICS_ROLLUP_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY lang
 """
@@ -127,7 +130,7 @@ def metrics_cube(docs: DataFrame) -> DataFrame:
 METRICS_CUBE_SQL = """
 SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
        CASE WHEN GROUPING(size_class) = 1 THEN 'ALL' ELSE size_class END AS size_class,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT lang,
          CASE WHEN doc_id % 20 < 14 THEN 'small' ELSE 'bulk' END AS size_class,

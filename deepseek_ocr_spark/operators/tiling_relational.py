@@ -1,7 +1,7 @@
 """Relational tile planner — SURVEY.md O-10/O-11/O-23/O-13/O-18.
 
 Re-expresses the reference's argmin scan (vllm/process/image_process.py:11-42)
-as a broadcast cross join against the 17-row candidate table plus a window
+as a broadcast cross join against the 13-row candidate table plus a window
 top-1 — the Spark-first formulation of "find the closest aspect ratio".
 
 Scan→window translation (verified against the kernel by property test):
@@ -16,7 +16,7 @@ the FIRST. As an ORDER BY:
     CASE WHEN area_cond THEN -pos ELSE pos END ASC
 
 where ``pos`` is the candidate's scan position. Broadcast join: the candidate
-side is 17 rows — never a shuffle of the page side for the join itself; the
+side is 13 rows — never a shuffle of the page side for the join itself; the
 window partitions by the page key (one shuffle, unavoidable for ranking,
 and AQE-coalesced).
 """
@@ -61,7 +61,7 @@ def with_tile_plan(
 
     The small-page bypass (image_process.py:363-375) and crop_mode=False
     short-circuit to (1,1) via CASE — Catalyst prunes nothing here since the
-    join is computed for all rows, but the join side is a broadcast of 17
+    join is computed for all rows, but the join side is a broadcast of 13
     rows, so the only cost is the rank window.
     """
     spark = pages.sparkSession

@@ -13,7 +13,7 @@ plan over ``documents(url, warc_ts, html, text, lang)``:
        (measured: shipping page_html through a shuffle + second Arrow hop
        cost as much as extraction); iterator batches = the continuous-
        batching analog; per-worker kernel singleton]
-    → tile plan as a zero-shuffle fold expression over the 17-candidate
+    → tile plan as a zero-shuffle fold expression over the 13-candidate
       literal array [O-10/O-11; the broadcast-join+window formulation lives
       in operators/tiling_relational.py and is verified to agree]
     → vision-token column expression          [O-13]
@@ -134,7 +134,7 @@ def split_and_extract(docs: DataFrame) -> DataFrame:
 
 
 def tile_plan_expr(width: Column, height: Column, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
-    """(nw, nh) via ``F.aggregate`` over the 17-candidate array — the
+    """(nw, nh) via ``F.aggregate`` over the 13-candidate array — the
     reference argmin scan (image_process.py:11-25) translated literally into
     a whole-stage-codegen fold: no shuffle, no UDF, no join.
 

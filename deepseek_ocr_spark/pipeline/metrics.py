@@ -56,7 +56,16 @@ def region_images_table(extracted: DataFrame) -> DataFrame:
 
 
 def lineage_table(extracted: DataFrame) -> DataFrame:
-    """extracted → lineage(url, partition_id, digest) (FIXTURES.md §2)."""
-    return extracted.select(
-        "url", F.spark_partition_id().alias("partition_id"), "digest"
-    )
+    """extracted → lineage(url, partition_id, digest) (FIXTURES.md §2).
+
+    ``partition_id`` must be the id of the extraction task that PRODUCED the
+    row (persisted by checkpoint.commit_run), not the scan partition of
+    whoever happens to read the table later — so the persisted column is
+    required; recomputing ``spark_partition_id()`` here would record the
+    reader's layout instead of the producer's."""
+    if "partition_id" not in extracted.columns:
+        raise ValueError(
+            "lineage_table requires the persisted partition_id column "
+            "(run checkpoint.commit_run first)"
+        )
+    return extracted.select("url", "partition_id", "digest")

@@ -21,6 +21,11 @@ HOSTILE = [
                     b'<img data-bbox="nope,2,3,4"/></div>'),
     ("h://hugeattr", b'<div class="page" data-page="0" data-width="999999" '
                      b'data-height="1"><p>extreme aspect</p></div>'),
+    # zero dims must clamp to defaults, not reach tile planning (div-by-zero)
+    ("h://zeroheight", b'<div class="page" data-page="0" data-width="2000" '
+                       b'data-height="0"><p>zero height</p></div>'),
+    ("h://zerowidth", b'<div class="page" data-page="0" data-width="0" '
+                      b'data-height="2000"><p>zero width</p></div>'),
     ("h://gt-in-text", b'<div class="page" data-page="0"><p>a &gt; b and 1 < 2</p></div>'),
 ]
 
