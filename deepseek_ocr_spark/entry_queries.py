@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from deepseek_ocr_spark.kernels.tokens import grid_side
 from deepseek_ocr_spark.config import BASE_SIZE, IMAGE_SIZE
-from deepseek_ocr_spark.operators import dedup, multimodal, similarity, textops
+from deepseek_ocr_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
 from deepseek_ocr_spark.operators.tiling_relational import (
     tile_plan_sql,
     vision_tokens_col,
@@ -34,6 +40,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _t(name: str):
+    """Reader for a driver TPC-H-shaped table."""
+    return lambda spark, sf_dir: spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # Synthetic page dims derived from doc_id (same formula in SQL) — gives the
@@ -278,6 +289,48 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_hourly": (
         lambda s, d: textops.events_hourly(_events(s, d)),
         textops.EVENTS_HOURLY_SQL,
+    ),
+    # relational join/agg coverage over the TPC-H-shaped driver tables
+    "tpch_pricing_summary": (
+        lambda s, d: relational.pricing_summary(_t("lineitem")(s, d)),
+        relational.PRICING_SUMMARY_SQL,
+    ),
+    "tpch_revenue_topn": (
+        lambda s, d: relational.revenue_topn(
+            _t("customer")(s, d), _t("orders")(s, d), _t("lineitem")(s, d)
+        ),
+        relational.REVENUE_TOPN_SQL,
+    ),
+    "tpch_star_region_rollup": (
+        lambda s, d: relational.star_region_rollup(
+            _t("lineitem")(s, d), _t("orders")(s, d), _t("customer")(s, d),
+            _t("nation")(s, d), _t("region")(s, d),
+        ),
+        relational.STAR_REGION_ROLLUP_SQL,
+    ),
+    "semi_join_open_orders": (
+        lambda s, d: relational.customers_with_open_orders(
+            _t("customer")(s, d), _t("orders")(s, d)
+        ),
+        relational.CUSTOMERS_OPEN_ORDERS_SQL,
+    ),
+    "anti_join_parts_unordered": (
+        lambda s, d: relational.parts_without_early_orders(
+            _t("part")(s, d), _t("lineitem")(s, d)
+        ),
+        relational.PARTS_WITHOUT_EARLY_ORDERS_SQL,
+    ),
+    "salted_hot_key_join": (
+        lambda s, d: relational.salted_hot_key_join(
+            _t("lineitem")(s, d), _t("region")(s, d)
+        ),
+        relational.SALTED_HOT_KEY_JOIN_SQL,
+    ),
+    "supplier_nation_balance": (
+        lambda s, d: relational.supplier_nation_balance(
+            _t("supplier")(s, d), _t("nation")(s, d), _t("region")(s, d)
+        ),
+        relational.SUPPLIER_NATION_BALANCE_SQL,
     ),
     # deduplication family
     "dedup_exact": (
