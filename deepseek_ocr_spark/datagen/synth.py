@@ -183,9 +183,16 @@ def gen_documents(n_docs: int, seed: int = 42) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def _page_div_from_words(rng: random.Random, page_no: int, words: list[str]) -> str:
-    dims = rng.choice([(620, 620), (1024, 1448), (1920, 1080), (1280, 640), (800, 2400)])
-    w, h = dims
+PAGE_DIMS = [(620, 620), (1024, 1448), (1920, 1080), (1280, 640), (800, 2400)]
+
+
+def _page_div_from_words(
+    rng: random.Random,
+    page_no: int,
+    words: list[str],
+    dims: tuple[int, int] | None = None,
+) -> str:
+    w, h = dims if dims is not None else rng.choice(PAGE_DIMS)
     attrs = f'class="page" data-page="{page_no}" data-width="{w}" data-height="{h}"'
     blocks = []
     y = 10
@@ -203,22 +210,45 @@ def _page_div_from_words(rng: random.Random, page_no: int, words: list[str]) -> 
     return f"<div {attrs}>" + "".join(blocks) + "</div>"
 
 
+def driver_page_count(doc_id: int) -> int:
+    """Pages per driver doc — CLOSED FORM so the driver's DuckDB oracle can
+    re-derive it in SQL (entry_queries.EXTRACT_SUMMARY_SQL). Size-skew
+    classes mirror FIXTURES.md (doc_id % 20): 14 single-page, 4 medium,
+    1 large, 1 oversized."""
+    c = doc_id % 20
+    if c < 14:
+        return 1
+    if c < 18:
+        return 2 + (doc_id // 20) % 2
+    return 6 if c < 19 else 12
+
+
+def driver_page_dims(doc_id: int, page_no: int) -> tuple[int, int]:
+    """Per-page dims — CLOSED FORM index into PAGE_DIMS (SQL parity as
+    above); covers small-page bypass (620×620), tall/wide/huge aspects."""
+    return PAGE_DIMS[(doc_id * 7 + page_no * 3) % 5]
+
+
 def driver_row_to_html(doc_id: int, text: str, seed: int = 42) -> bytes:
     """One driver documents row → deterministic synthetic page HTML.
 
-    Size-skew classes mirror FIXTURES.md (doc_id % 20): 14 single-page,
-    4 medium, 1 large, 1 oversized — so the skew-handling path is exercised
-    at whatever scale factor the driver provides.
-    """
-    rng = _rng(seed, doc_id, "driver")
-    c = doc_id % 20
-    n_pages = 1 if c < 14 else (rng.randint(2, 3) if c < 18 else (6 if c < 19 else 12))
+    Page COUNT and DIMS are closed-form functions of doc_id/page_no (above)
+    so n_pages / n_vision_tokens of the extraction output are exactly
+    re-derivable in the driver's DuckDB oracle; the page CONTENT stays
+    rng-derived (its invariant is byte-identity vs the shared-kernel oracle,
+    gated in pytest, not SQL)."""
+    n_pages = driver_page_count(doc_id)
     words = text.split()
     per_page = max(1, (len(words) + n_pages - 1) // n_pages)
     pages = []
     for p in range(n_pages):
         prng = _rng(seed, doc_id, f"driverpage{p}")
-        pages.append(_page_div_from_words(prng, p, words[p * per_page : (p + 1) * per_page]))
+        pages.append(
+            _page_div_from_words(
+                prng, p, words[p * per_page : (p + 1) * per_page],
+                dims=driver_page_dims(doc_id, p),
+            )
+        )
     brng = _rng(seed, doc_id, "driverboiler")
     html = (
         f'<html><head><title>doc {doc_id}</title></head><body>'

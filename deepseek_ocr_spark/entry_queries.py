@@ -141,6 +141,53 @@ def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable projection of the flagship pipeline: (url, n_pages,
+    n_vision_tokens). Page count and dims of the driver-derived corpus are
+    closed-form in doc_id (datagen.synth.driver_page_count/driver_page_dims),
+    so DuckDB re-derives both through the relational tile planner — an
+    INDEPENDENT end-to-end check that the kernel's split → tile plan →
+    token accounting matches the declarative spec. text/digest remain on
+    the byte-identity pytest gate (not SQL-expressible)."""
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+
+    out = extract_documents(docs_from_driver_table(spark, sf_dir))
+    return out.select("url", "n_pages", "n_vision_tokens")
+
+
+def _extract_summary_sql() -> str:
+    from deepseek_ocr_spark.datagen.synth import PAGE_DIMS
+
+    idx = "(doc_id * 7 + p * 3) % 5"
+    w_case = " ".join(
+        f"WHEN {i} THEN {w}" for i, (w, _h) in enumerate(PAGE_DIMS[:-1])
+    ) + f" ELSE {PAGE_DIMS[-1][0]}"
+    h_case = " ".join(
+        f"WHEN {i} THEN {h}" for i, (_w, h) in enumerate(PAGE_DIMS[:-1])
+    ) + f" ELSE {PAGE_DIMS[-1][1]}"
+    dims_sql = f"""
+SELECT doc_id, p,
+       CASE {idx} {w_case} END AS width,
+       CASE {idx} {h_case} END AS height
+FROM (
+  SELECT doc_id, unnest(range(
+    CASE WHEN doc_id % 20 < 14 THEN 1
+         WHEN doc_id % 20 < 18 THEN 2 + (doc_id // 20) % 2
+         WHEN doc_id % 20 < 19 THEN 6
+         ELSE 12 END)) AS p
+  FROM documents
+)"""
+    return f"""
+WITH planned AS ({tile_plan_sql(dims_sql, ["doc_id", "p"])})
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(count(*) AS INT) AS n_pages,
+       CAST(sum({_HG} * {_HG + 1}
+            + CASE WHEN nw > 1 OR nh > 1 THEN (nh * {_H2}) * (nw * {_H2} + 1) ELSE 0 END
+            + 1) AS BIGINT) AS n_vision_tokens
+FROM planned GROUP BY doc_id
+"""
+
+
 def docs_from_driver_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver documents table → input_hint shape (url, warc_ts, html, text,
     lang) with deterministic synthetic page HTML."""
@@ -353,6 +400,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: dedup.ngram_jaccard_adjacent(_docs(s, d)),
         dedup.ngram_jaccard_sql(),
     ),
+    # production-scale sketch parameterization (16 hashes / 4 bands) — the
+    # Spark and SQL generators must stay in sync for ANY (K, B) setting
+    "dedup_minhash_pairs_16x4": (
+        lambda s, d: dedup.dedup_minhash_pairs(_docs(s, d), n_hashes=16, n_bands=4),
+        dedup.dedup_minhash_pairs_sql(n_hashes=16, n_bands=4),
+    ),
     "dedup_minhash_verified": (
         lambda s, d: dedup.dedup_minhash_verified(_docs(s, d)),
         dedup.dedup_minhash_verified_sql(),
@@ -369,6 +422,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "similarity_ann_lsh": (
         lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         similarity.ann_lsh_topk_sql(),
+    ),
+    # finer bucketing (8 planes / 256 buckets) — the 100 TB-ish setting
+    "similarity_ann_lsh_256": (
+        lambda s, d: similarity.ann_lsh_topk(_emb(s, d), n_planes=8),
+        similarity.ann_lsh_topk_sql(n_planes=8),
     ),
     # text analysis
     "langid_heuristic": (
@@ -392,8 +450,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: multimodal.decode_image_meta(_docs(s, d)),
         multimodal.DECODE_IMAGE_META_SQL,
     ),
-    # full pipeline (rows-only; byte-identity gated in pytest instead)
+    # full pipeline (rows-only; byte-identity gated in pytest instead) +
+    # the oracle-checkable projection of the same pipeline run
     "extract_pipeline": (q_extract_pipeline, None),
+    "extract_summary": (q_extract_summary, _extract_summary_sql()),
 }
 
 

@@ -74,44 +74,70 @@ FROM documents GROUP BY md5(text)
 """
 
 
+# Demo-scale defaults; production corpora want ~128 hashes / 16 bands — both
+# are real parameters now (Spark and SQL generators stay band-for-band in
+# sync for any (n_hashes, n_bands) with n_hashes % n_bands == 0), and the
+# registry oracle-checks a second, non-toy setting (16×4).
 N_MINHASHES = 4
-N_BANDS = 2  # 2 hashes per band
+N_BANDS = 2
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, h0..h3, band0, band1) — K minhashes + banded keys."""
+def _check_bands(n_hashes: int, n_bands: int) -> int:
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
+    return n_hashes // n_bands
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, h0..h{K-1}, band0..band{B-1}) — K minhashes + banded keys."""
+    r = _check_bands(n_hashes, n_bands)
     sh = _shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}")
-        for k in range(N_MINHASHES)
+        for k in range(n_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
+    band_cols = [
+        F.md5(F.concat(*[f"h{b * r + i}" for i in range(r)])).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
     return sig.select(
-        "doc_id",
-        *[F.col(f"h{k}") for k in range(N_MINHASHES)],
-        F.md5(F.concat("h0", "h1")).alias("band0"),
-        F.md5(F.concat("h2", "h3")).alias("band1"),
+        "doc_id", *[F.col(f"h{k}") for k in range(n_hashes)], *band_cols
     )
 
 
-def minhash_sql(table: str = "documents") -> str:
+def minhash_sql(
+    table: str = "documents", n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> str:
+    r = _check_bands(n_hashes, n_bands)
     hash_cols = ", ".join(
-        f"min(md5(shingle || ':{k}')) AS h{k}" for k in range(N_MINHASHES)
+        f"min(md5(shingle || ':{k}')) AS h{k}" for k in range(n_hashes)
+    )
+    h_list = ", ".join(f"h{k}" for k in range(n_hashes))
+    band_cols = ", ".join(
+        "md5({}) AS band{}".format(
+            " || ".join(f"h{b * r + i}" for i in range(r)), b
+        )
+        for b in range(n_bands)
     )
     return f"""
 WITH sh AS ({shingles_sql(table)}),
 sig AS (SELECT doc_id, {hash_cols} FROM sh GROUP BY doc_id)
-SELECT doc_id, h0, h1, h2, h3,
-       md5(h0 || h1) AS band0, md5(h2 || h3) AS band1
+SELECT doc_id, {h_list}, {band_cols}
 FROM sig
 """
 
 
-def dedup_minhash_pairs(docs: DataFrame) -> DataFrame:
+def dedup_minhash_pairs(
+    docs: DataFrame, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> DataFrame:
     """Candidate near-dup pairs (a_doc_id < b_doc_id) sharing any LSH band."""
-    sig = minhash_signatures(docs)
+    n_bands_cols = [f"band{b}" for b in range(n_bands)]
+    sig = minhash_signatures(docs, n_hashes, n_bands)
     bands = sig.select(
-        "doc_id", F.explode(F.array("band0", "band1")).alias("band")
+        "doc_id", F.explode(F.array(*n_bands_cols)).alias("band")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -122,12 +148,16 @@ def dedup_minhash_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_pairs_sql(table: str = "documents") -> str:
+def dedup_minhash_pairs_sql(
+    table: str = "documents", n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> str:
+    band_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, band{b} AS band FROM sig" for b in range(n_bands)
+    )
     return f"""
-WITH sig AS ({minhash_sql(table)}),
+WITH sig AS ({minhash_sql(table, n_hashes, n_bands)}),
 bands AS (
-  SELECT doc_id, band0 AS band FROM sig
-  UNION ALL SELECT doc_id, band1 FROM sig
+  {band_union}
 )
 SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id

@@ -117,6 +117,10 @@ SELECT a_vec_id, b_vec_id, cos, (cos >= {threshold}) AS is_dup FROM pairs
 """
 
 
+# Default bucket fan-out: 2^4 = 16 buckets — demo scale. At 100 TB each
+# probe would still scan ~1/16 of the corpus, so ``n_planes`` is a real
+# parameter everywhere below (Spark and SQL generators stay in sync); the
+# registry oracle-checks a second setting at 8 planes / 256 buckets.
 N_HYPERPLANES = 4
 
 
@@ -140,19 +144,21 @@ def _plane_coef(plane: int, i: int) -> float:
     return 1.0 if ((i * (plane + 2)) // 3) % 2 == 0 else -1.0
 
 
-def lsh_buckets(emb: DataFrame, dim: int = 64) -> DataFrame:
-    """(vec_id, bucket) — random-hyperplane LSH bucket id (0..15)."""
+def lsh_buckets(
+    emb: DataFrame, dim: int = 64, n_planes: int = N_HYPERPLANES
+) -> DataFrame:
+    """(vec_id, bucket) — random-hyperplane LSH bucket id (0..2^n_planes-1)."""
     e = F.col("embedding")
     bucket = None
-    for p in range(N_HYPERPLANES):
+    for p in range(n_planes):
         term = _hyperplane_sign(e, p, dim) * F.lit(1 << p)
         bucket = term if bucket is None else bucket + term
     return emb.select("vec_id", bucket.cast("int").alias("bucket"))
 
 
-def lsh_buckets_sql(dim: int = 64) -> str:
+def lsh_buckets_sql(dim: int = 64, n_planes: int = N_HYPERPLANES) -> str:
     parts = []
-    for p in range(N_HYPERPLANES):
+    for p in range(n_planes):
         coefs = ", ".join(str(_plane_coef(p, i)) for i in range(dim))
         parts.append(
             f"(CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * ([{coefs}])[i] "
@@ -162,17 +168,26 @@ def lsh_buckets_sql(dim: int = 64) -> str:
     return f"SELECT vec_id, CAST({expr} AS INT) AS bucket FROM embeddings"
 
 
-def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10, dim: int = 64) -> DataFrame:
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = N_HYPERPLANES,
+) -> DataFrame:
     """ANN: restrict the cosine scan to the query's LSH bucket (the scale
-    path — each probe reads one bucket partition instead of the corpus)."""
-    buckets = lsh_buckets(emb, dim)
+    path — each probe reads one bucket partition instead of the corpus).
+    The candidate id set (one bucket, << corpus) is broadcast onto the
+    embedding scan — the hint is always right because a bucket that doesn't
+    fit in a broadcast means the bucketing itself failed."""
+    buckets = lsh_buckets(emb, dim, n_planes)
     qrow = buckets.filter(F.col("vec_id") == query_vec_id).head()
     if qrow is None:
         raise ValueError(f"query vec_id {query_vec_id} not found in embeddings")
     qb = qrow["bucket"]
     cands = buckets.filter((F.col("bucket") == qb) & (F.col("vec_id") != query_vec_id))
     scored = cosine_topk(
-        emb.join(cands.select("vec_id"), "vec_id", "inner").unionByName(
+        emb.join(F.broadcast(cands.select("vec_id")), "vec_id", "inner").unionByName(
             emb.filter(F.col("vec_id") == query_vec_id)
         ),
         query_vec_id,
@@ -181,9 +196,11 @@ def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10, dim: int = 
     return scored
 
 
-def ann_lsh_topk_sql(query_vec_id: int = 0, k: int = 10, dim: int = 64) -> str:
+def ann_lsh_topk_sql(
+    query_vec_id: int = 0, k: int = 10, dim: int = 64, n_planes: int = N_HYPERPLANES
+) -> str:
     return f"""
-WITH buckets AS ({lsh_buckets_sql(dim)}),
+WITH buckets AS ({lsh_buckets_sql(dim, n_planes)}),
 qb AS (SELECT bucket FROM buckets WHERE vec_id = {query_vec_id}),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
 cands AS (

@@ -408,13 +408,21 @@ FROM documents
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """md5 over the 8 lexicographically-smallest distinct 3-gram shingles —
-    an order-invariant rolling-hash-style document fingerprint."""
+    an order-invariant rolling-hash-style document fingerprint.
+
+    Bounded per-group state: the naive ``slice(array_sort(collect_list()))``
+    would buffer EVERY distinct shingle of a document in one aggregation
+    buffer before keeping 8 — a per-group memory blowup on book-length docs
+    at corpus scale. Instead a sort-based window ``row_number() <= 8`` keeps
+    only the 8 smallest per doc before the (now ≤8-element) collect."""
     from deepseek_ocr_spark.operators.dedup import _shingles
 
     sh = _shingles(docs).distinct()
+    win = Window.partitionBy("doc_id").orderBy("shingle")
+    top8 = sh.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") <= 8)
     return (
-        sh.groupBy("doc_id")
-        .agg(F.slice(F.array_sort(F.collect_list("shingle")), 1, 8).alias("top8"))
+        top8.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("shingle")).alias("top8"))
         .select("doc_id", F.md5(F.array_join("top8", "|")).alias("fingerprint"))
     )
 
