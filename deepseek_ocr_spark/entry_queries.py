@@ -19,6 +19,7 @@ from deepseek_ocr_spark.config import BASE_SIZE, IMAGE_SIZE
 from deepseek_ocr_spark.operators import (
     dedup,
     multimodal,
+    ngram_window,
     relational,
     similarity,
     textops,
@@ -444,6 +445,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint": (
         lambda s, d: textops.doc_fingerprint(_docs(s, d)),
         textops.doc_fingerprint_sql(),
+    ),
+    # O-28 relational analog: sliding-window duplicate n-gram detector
+    "ngram_repeat_flags": (
+        lambda s, d: ngram_window.ngram_repeat_flags(_docs(s, d)),
+        ngram_window.ngram_repeat_flags_sql(),
     ),
     # multimodal plumbing (fake decode has an exact oracle)
     "multimodal_decode": (
