@@ -45,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics_table,
         region_images_table,
     )
+    from deepseek_ocr_spark.pipeline.layouts import layouts_table
     from deepseek_ocr_spark.pipeline.session import build_session
 
     spark = build_session(app_name="run-extract")
@@ -77,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     region_images_table(final).write.mode("overwrite").parquet(
         os.path.join(args.output, "region_images")
+    )
+    layouts_table(final).write.mode("overwrite").parquet(
+        os.path.join(args.output, "layouts")
     )
 
     n = final.count()

@@ -34,6 +34,7 @@ def extract_url(url: str, html: bytes | str, cfg: EngineConfig = DEFAULT_CONFIG)
     raw_parts: list[str] = []
     clean_parts: list[str] = []
     spans: list[dict] = []
+    page_dims: list[dict] = []  # kept pages, in assembly order
     vision_tokens = 0
     n_pages_kept = 0
     jdx = 0  # kept-page ordinal (pdf.py:285, incremented at pdf.py:320)
@@ -43,6 +44,9 @@ def extract_url(url: str, html: bytes | str, cfg: EngineConfig = DEFAULT_CONFIG)
         if not keep:
             continue
         n_pages_kept += 1
+        page_dims.append(
+            {"page_no": page["page_no"], "width": page["width"], "height": page["height"]}
+        )
         nw, nh = tile_plan(
             page["width"], page["height"], cfg.crop_mode,
             cfg.image_size, cfg.min_crops, cfg.max_crops,
@@ -74,6 +78,7 @@ def extract_url(url: str, html: bytes | str, cfg: EngineConfig = DEFAULT_CONFIG)
         "text": text,
         "raw_text": raw_text,
         "spans": spans,
+        "page_dims": page_dims,
         "n_pages": n_pages_kept,
         "n_vision_tokens": vision_tokens,
         "n_text_tokens": text_tokens,

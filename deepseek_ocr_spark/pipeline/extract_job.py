@@ -384,6 +384,17 @@ def _assemble_pages(pages: DataFrame, cfg: EngineConfig, page_partitions: int) -
             F.col("fin.raw_text").alias("raw_text"),
             F.col("fin.text").alias("text"),
             F.col("fin.spans").alias("spans"),
+            # kept-page dims ride along (already sorted by page order) so
+            # downstream sinks (layouts_table O-7) can rebuild per-page
+            # canvases without re-running the split — pure projection, free
+            F.transform(
+                "kept_pages",
+                lambda x: F.struct(
+                    x["page_no"].alias("page_no"),
+                    x["width"].alias("width"),
+                    x["height"].alias("height"),
+                ),
+            ).alias("page_dims"),
             "n_pages",
             "n_vision_tokens",
             F.col("fin.n_text_tokens").alias("n_text_tokens"),

@@ -58,6 +58,60 @@ def test_spans_match(spark_vs_oracle):
         assert have == want, u
 
 
+def _expected_svg(width, height, page_spans):
+    """Independent (test-side) reconstruction of the O-7 layout SVG —
+    hardcodes the format so a regression in layouts.py is caught, mirrors
+    reference draw semantics (pdf.py:151-215): title stroke 4 / others 2,
+    translucent fill, label at (x1, max(0, y1-15)); np.random colors
+    substituted by the deterministic palette."""
+    palette = [
+        "#1f77b4", "#d62728", "#2ca02c", "#9467bd",
+        "#ff7f0e", "#8c564b", "#17becf", "#7f7f7f",
+    ]
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {width} {height}" '
+        f'width="{width}" height="{height}">'
+    ]
+    for s in sorted(page_spans, key=lambda s: s["ord"]):
+        c = palette[s["ord"] % 8]
+        sw = 4 if s["label"] == "title" else 2
+        ty = max(0, s["py1"] - 15)
+        parts.append(
+            f'<rect x="{s["px1"]}" y="{s["py1"]}" width="{s["px2"] - s["px1"]}" '
+            f'height="{s["py2"] - s["py1"]}" stroke="{c}" stroke-width="{sw}" '
+            f'fill="{c}" fill-opacity="0.08"/>'
+            f'<text x="{s["px1"]}" y="{ty}" fill="{c}" font-size="12">{s["label"]}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts).encode("utf-8")
+
+
+def test_layouts_side_output(spark, docs_df):
+    """O-7: the annotated-layout SVG sink matches a test-side reconstruction
+    from the oracle's spans + kept-page dims, byte for byte, for every
+    (url, page_no) — including zero-span pages (empty canvas)."""
+    from deepseek_ocr_spark.pipeline.layouts import layouts_table
+
+    got = {
+        (r["url"], r["page_no"]): (bytes(r["svg"]), r["n_boxes"])
+        for r in layouts_table(extract_documents(docs_df)).collect()
+    }
+    oracle = run_oracle(gen_documents(60))
+    want = {}
+    for r in oracle:
+        for pd in r["page_dims"]:
+            key = (r["url"], pd["page_no"])
+            page_spans = [s for s in r["spans"] if s["page_no"] == pd["page_no"]]
+            want[key] = (
+                _expected_svg(pd["width"], pd["height"], page_spans),
+                len(page_spans),
+            )
+    assert set(got) == set(want)
+    mismatch = [k for k in want if got[k] != want[k]]
+    assert mismatch == [], (mismatch[:3], got[mismatch[0]] if mismatch else None)
+    assert any(n > 0 for _, n in want.values())
+
+
 def test_region_images_side_output(spark, docs_df):
     """O-6: the image-span crop table matches the oracle's image spans."""
     from deepseek_ocr_spark.pipeline.extract_job import extract_documents
