@@ -63,21 +63,33 @@ def main() -> None:
         "tile_plan_argmin",
         "dedup_exact",
         "dedup_minhash_pairs",
+        "dedup_minhash_pairs_16x4",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "similarity_topk",
         "similarity_ann_lsh",
+        "similarity_ann_lsh_256",
         "langid_heuristic",
         "quality_score",
         "token_count",
         "doc_fingerprint",
+        "ngram_repeat_flags",
         "ordered_assembly",
         "events_hourly",
+        "sessionize",
+        "asof_join_orders",
+        "tpch_pricing_summary",
+        "tpch_revenue_topn",
+        "tpch_star_region_rollup",
+        "semi_join_open_orders",
+        "salted_hot_key_join",
     ]
     reg = registry()
     for name in bench_queries:
         t0 = time.time()
-        reg[name](spark, sf_dir).count()
+        # noop write of ALL columns — .count() would let Catalyst prune the
+        # aggregate/computed columns out of the measured plan (CLAUDE.md)
+        reg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -22,6 +22,7 @@ from deepseek_ocr_spark.operators import (
     ngram_window,
     relational,
     similarity,
+    temporal,
     textops,
 )
 from deepseek_ocr_spark.operators.tiling_relational import (
@@ -337,6 +338,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_hourly": (
         lambda s, d: textops.events_hourly(_events(s, d)),
         textops.EVENTS_HOURLY_SQL,
+    ),
+    # temporal family: gap sessionization + as-of join (union-and-window)
+    "sessionize": (
+        lambda s, d: temporal.sessionize(_events(s, d)),
+        temporal.sessionize_sql(),
+    ),
+    "asof_join_orders": (
+        lambda s, d: temporal.asof_join(_events(s, d), _t("orders")(s, d)),
+        temporal.ASOF_JOIN_SQL,
     ),
     # relational join/agg coverage over the TPC-H-shaped driver tables
     "tpch_pricing_summary": (

@@ -1,14 +1,21 @@
 """Multimodal binary-column plumbing (training-data-pipeline op family).
 
-Images/audio/video are opaque ``binary`` columns with typed metadata. The
-Spark-side plumbing — schema, batching, mapInPandas signature, partitioning —
-is real and tested; the actual codec decode is STUBBED (no image/audio libs
-in this container): ``decode_image_meta`` derives deterministic fake
-dimensions from the bytes' md5 when ``_HAS_CODECS`` is false, and raises
-``NotImplementedError`` from the real-decoder hook.
+Images/audio/video are opaque ``binary`` columns with typed metadata.
 
-The fake decode is pure hash arithmetic, so it has an exact DuckDB oracle —
-the plumbing is checked end-to-end even though no pixels are decoded.
+Three tiers:
+
+1. ``image_meta`` — REAL header-only metadata decode (format sniff +
+   dimensions for PNG/GIF/BMP/JPEG + JPEG EXIF orientation, the
+   ``exif_transpose`` analog of reference image.py:28-42 at the metadata
+   level). Pure-Python byte parsing, no codec libraries needed — this is
+   exactly how a 100 TB pipeline triages image columns before spending
+   decode cycles.
+2. ``decode_image_meta`` — the oracle-checkable plumbing exerciser: fake
+   dims from the payload md5 (pure hash arithmetic ⇒ exact DuckDB oracle),
+   proving schema/batching/partitioning end-to-end.
+3. ``_real_decode`` — PIXEL decode stays stubbed behind ``_HAS_CODECS``
+   (no PIL/cv2/ffmpeg in this container); the decoder is injectable so the
+   codec-present path is testable as an interface.
 """
 
 from __future__ import annotations
@@ -52,26 +59,174 @@ DECODE_SCHEMA = T.StructType(
 )
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    decode = _real_decode if _HAS_CODECS else _fake_decode
+# --- tier 1: real header-only metadata decode ---------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_image_meta(data: bytes) -> tuple[str, int, int, int] | None:
+    """(format, width, height, orientation) from container headers only.
+
+    Orientation is the EXIF tag 0x0112 value for JPEG (1 when absent), 1 for
+    formats without orientation metadata. Returns None for unrecognized
+    payloads. Pure byte arithmetic — safe on hostile input (any parse error
+    means "not this format", never an exception)."""
+    try:
+        if data[:8] == _PNG_SIG and data[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(data[16:20], "big"),
+                int.from_bytes(data[20:24], "big"),
+                1,
+            )
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                "gif",
+                int.from_bytes(data[6:8], "little"),
+                int.from_bytes(data[8:10], "little"),
+                1,
+            )
+        if data[:2] == b"BM" and len(data) >= 26:
+            return (
+                "bmp",
+                int.from_bytes(data[18:22], "little", signed=True),
+                abs(int.from_bytes(data[22:26], "little", signed=True)),
+                1,
+            )
+        if data[:2] == b"\xff\xd8":
+            return _jpeg_meta(data)
+    except Exception:
+        return None
+    return None
+
+
+def _jpeg_meta(data: bytes) -> tuple[str, int, int, int] | None:
+    """Walk JPEG segments: dims from the first SOF marker, orientation from
+    the EXIF APP1 TIFF IFD (tag 0x0112) if present."""
+    orientation = 1
+    width = height = None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+            i += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan: dims must be known
+            break
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        seg = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            orientation = _exif_orientation(seg[6:]) or orientation
+        # SOF0..SOF15 excluding DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+        i += 2 + seg_len
+    if width is None or height is None:
+        return None
+    return ("jpeg", width, height, orientation)
+
+
+def _exif_orientation(tiff: bytes) -> int | None:
+    """Orientation tag (0x0112) from a TIFF blob (EXIF body after the
+    'Exif\\0\\0' prefix) — reference applies ImageOps.exif_transpose
+    (image.py:33); at the metadata level the tag value is the observable."""
+    if tiff[:2] == b"II":
+        bo = "little"
+    elif tiff[:2] == b"MM":
+        bo = "big"
+    else:
+        return None
+    ifd0 = int.from_bytes(tiff[4:8], bo)
+    if ifd0 + 2 > len(tiff):
+        return None
+    count = int.from_bytes(tiff[ifd0 : ifd0 + 2], bo)
+    for e in range(count):
+        off = ifd0 + 2 + 12 * e
+        if off + 12 > len(tiff):
+            return None
+        tag = int.from_bytes(tiff[off : off + 2], bo)
+        if tag == 0x0112:
+            return int.from_bytes(tiff[off + 8 : off + 10], bo)
+    return None
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("img_width", T.IntegerType()),
+        T.StructField("img_height", T.IntegerType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("display_width", T.IntegerType()),
+        T.StructField("display_height", T.IntegerType()),
+    ]
+)
+
+
+def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = {k: [] for k in ("doc_id", "n_bytes", "img_width", "img_height", "channels")}
+        out = {k: [] for k in ("doc_id", "format", "img_width", "img_height",
+                               "orientation", "display_width", "display_height")}
         for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(data)
-            w, h, c = decode(data)
-            rows["doc_id"].append(int(doc_id))
-            rows["n_bytes"].append(len(data))
-            rows["img_width"].append(w)
-            rows["img_height"].append(h)
-            rows["channels"].append(c)
-        yield pd.DataFrame(rows)
+            meta = sniff_image_meta(bytes(data)) if data is not None else None
+            fmt, w, h, o = meta if meta else (None, None, None, None)
+            # EXIF orientations 5-8 transpose the displayed image — the
+            # metadata-level effect of exif_transpose (reference image.py:33)
+            swap = o in (5, 6, 7, 8)
+            out["doc_id"].append(int(doc_id))
+            out["format"].append(fmt)
+            out["img_width"].append(w)
+            out["img_height"].append(h)
+            out["orientation"].append(o)
+            out["display_width"].append(h if swap else w)
+            out["display_height"].append(w if swap else h)
+        yield pd.DataFrame(out)
 
 
-def decode_image_meta(docs: DataFrame) -> DataFrame:
+def image_meta(images: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """(id, binary payload) → typed image metadata via Arrow-batched
+    mapInPandas — real header parsing, no codec libs. Unrecognized payloads
+    yield NULL metadata instead of failing the task (hostile-corpus rule)."""
+    src = images.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_meta_batches, IMAGE_META_SCHEMA)
+
+
+# --- tier 2: oracle-checkable plumbing exerciser -------------------------------
+
+
+def _make_decode_batches(decoder):
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_bytes", "img_width", "img_height", "channels")}
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(data)
+                w, h, c = decoder(data)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_bytes"].append(len(data))
+                rows["img_width"].append(w)
+                rows["img_height"].append(h)
+                rows["channels"].append(c)
+            yield pd.DataFrame(rows)
+
+    return _decode_batches
+
+
+def decode_image_meta(docs: DataFrame, decoder=None) -> DataFrame:
     """documents → per-doc fake-image metadata via mapInPandas over a binary
-    payload column (the text bytes stand in for image bytes)."""
+    payload column (the text bytes stand in for image bytes).
+
+    ``decoder`` injects the codec (tests exercise the codec-present
+    interface with it); default follows the ``_HAS_CODECS`` gate."""
+    if decoder is None:
+        decoder = _real_decode if _HAS_CODECS else _fake_decode
     payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    return payloads.mapInPandas(_decode_batches, DECODE_SCHEMA)
+    return payloads.mapInPandas(_make_decode_batches(decoder), DECODE_SCHEMA)
 
 
 DECODE_IMAGE_META_SQL = """

@@ -1,0 +1,135 @@
+"""Temporal operator family over the events/orders tables.
+
+Two operators Spark lacks as built-ins, both expressed as compositions of
+existing DataFrame ops (no UDFs, no per-row Python):
+
+- ``sessionize``: gap-based sessionization (the canonical clickstream op) —
+  lag + running-sum windows, one shuffle on user_id.
+- ``asof_join``: each event matched to the most recent order at-or-before
+  its timestamp. Implemented with the union-and-window technique: tag both
+  streams, sort once per key by (time, tag), take ``last(..., ignorenulls)``
+  over the unbounded-preceding frame. ONE shuffle of (key, time, few cols) —
+  no range-join explosion, no per-key collect; this is the 100 TB shape
+  (a naive t1 <= t2 range join is quadratic in hot keys). DuckDB's native
+  ASOF JOIN is the oracle.
+
+Determinism note: among several orders with the SAME (custkey, orderdate),
+"the most recent order" is ambiguous and engines disagree — both sides
+pre-reduce to the max orderkey per (custkey, orderdate) so the match is
+well-defined before the as-of logic runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MINUTES = 30
+
+
+def _epoch_us(c: F.Column) -> F.Column:
+    """TIMESTAMP_NTZ → exact epoch MICROSECONDS. Seconds-granularity epochs
+    are a parity trap: Spark's cast-to-long floors while DuckDB's
+    CAST(epoch() ...) rounds, so borderline gaps split sessions differently.
+    unix_micros ⇔ DuckDB epoch_us are both exact integers. NTZ→LTZ
+    interprets in the session tz (pinned UTC, session.py)."""
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """events → per-session rollup (user_id, session_no, session_start,
+    session_end, n_events, duration_us). A session breaks when the gap to
+    the previous event of the same user exceeds ``gap_minutes``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(_epoch_us(F.col("ts")), 1).over(w)
+    is_new = (
+        prev.isNull()
+        | ((_epoch_us(F.col("ts")) - prev) > gap_minutes * 60 * 1_000_000)
+    ).cast("int")
+    sess = events.withColumn("_new", is_new).withColumn(
+        "session_no", F.sum("_new").over(w)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(_epoch_us(F.col("ts"))) - F.min(_epoch_us(F.col("ts"))))
+        .cast("bigint")
+        .alias("duration_us"),
+    )
+
+
+def sessionize_sql(gap_minutes: int = SESSION_GAP_MINUTES) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {gap_minutes * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+           AS session_no
+  FROM e
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def asof_join(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Each event → the most recent order (by o_orderdate <= ts) of the same
+    user. Returns (event_id, user_id, ts, o_orderkey, o_orderdate); events
+    with no prior order are dropped (inner as-of)."""
+    # well-defined match under date ties: max orderkey per (custkey, date)
+    ords = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("t")
+    ).agg(F.max("o_orderkey").alias("o_orderkey"))
+    tagged_orders = ords.select(
+        "user_id", "t", F.lit(0).alias("_src"),
+        F.lit(None).cast("long").alias("event_id"), "o_orderkey",
+    )
+    tagged_events = events.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("_src"),
+        "event_id", F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    both = tagged_orders.unionByName(tagged_events)
+    # orders sort BEFORE events at equal t (_src 0 < 1) → ts >= o_orderdate
+    # is inclusive, matching ASOF JOIN's >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.withColumn(
+        "m_orderkey", F.last(F.when(F.col("_src") == 0, F.col("o_orderkey")), ignorenulls=True).over(w)
+    ).withColumn(
+        "m_orderdate", F.last(F.when(F.col("_src") == 0, F.col("t")), ignorenulls=True).over(w)
+    )
+    return (
+        matched.filter((F.col("_src") == 1) & F.col("m_orderkey").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts"),
+            F.col("m_orderkey").alias("o_orderkey"),
+            F.col("m_orderdate").alias("o_orderdate"),
+        )
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH ords AS (
+  SELECT o_custkey AS user_id, o_orderdate AS t, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.t AS o_orderdate
+FROM events e
+ASOF JOIN ords o ON e.user_id = o.user_id AND e.ts >= o.t
+"""
