@@ -23,7 +23,7 @@ and AQE-coalesced).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deepseek_ocr_spark.config import BASE_SIZE, IMAGE_SIZE, MAX_CROPS, MIN_CROPS
@@ -59,38 +59,47 @@ def with_tile_plan(
 ) -> DataFrame:
     """pages(+key, width, height) → + (nw, nh) via broadcast argmin join.
 
+    Argmin as a lexicographic ``min(struct(...))`` AGGREGATION, not a window
+    top-1: the struct key (diff, area_rank, pos_key) encodes exactly the
+    scan→ORDER BY translation in the module docstring (area_rank 0 when the
+    area condition holds — DESC becomes ASC on the rank; pos_key flips sign
+    inside the area group). A hash aggregate combines map-side, so the 13×
+    candidate inflation collapses back to ONE row per page BEFORE the
+    exchange, and no per-partition sort happens at all — vs the window
+    formulation which shuffles all 13 rows per page and sorts them.
+    (The DuckDB oracle keeps the window formulation on purpose: two
+    independent derivations of the same argmin cross-check each other.)
+
     The small-page bypass (image_process.py:363-375) and crop_mode=False
-    short-circuit to (1,1) via CASE — Catalyst prunes nothing here since the
-    join is computed for all rows, but the join side is a broadcast of 13
-    rows, so the only cost is the rank window.
+    short-circuit to (1,1) via CASE. Non-key page columns ride inside the
+    min-struct (every candidate of a page carries identical copies).
     """
     spark = pages.sparkSession
     cand = F.broadcast(candidates_df(spark))
     w, h = F.col(width_col), F.col(height_col)
+    passthrough = [c for c in pages.columns if c not in key_cols]
 
+    area_cond = w * h > F.lit(0.5 * image_size * image_size) * F.col("i") * F.col("j")
     scored = pages.crossJoin(cand).select(
-        *pages.columns,
-        "pos",
-        "i",
-        "j",
-        F.abs(w / h - F.col("i") / F.col("j")).alias("diff"),
-        (w * h > F.lit(0.5 * image_size * image_size) * F.col("i") * F.col("j")).alias(
-            "area_cond"
-        ),
+        *key_cols,
+        F.struct(
+            F.abs(w / h - F.col("i") / F.col("j")).alias("diff"),
+            F.when(area_cond, 0).otherwise(1).alias("area_rank"),
+            F.when(area_cond, -F.col("pos")).otherwise(F.col("pos")).alias("pos_key"),
+            F.col("i").alias("i"),
+            F.col("j").alias("j"),
+            *[F.col(c).alias(c) for c in passthrough],
+        ).alias("cand"),
     )
-    order = [
-        F.col("diff").asc(),
-        F.col("area_cond").desc(),
-        F.when(F.col("area_cond"), -F.col("pos")).otherwise(F.col("pos")).asc(),
-    ]
-    win = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
-    ranked = scored.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
+    best = scored.groupBy(*key_cols).agg(F.min("cand").alias("b"))
 
-    bypass = (w <= image_size) & (h <= image_size) if crop_mode else F.lit(True)
-    return ranked.select(
-        *pages.columns,
-        F.when(bypass, F.lit(1)).otherwise(F.col("i")).alias("nw"),
-        F.when(bypass, F.lit(1)).otherwise(F.col("j")).alias("nh"),
+    bw, bh = F.col(f"b.{width_col}"), F.col(f"b.{height_col}")
+    bypass = (bw <= image_size) & (bh <= image_size) if crop_mode else F.lit(True)
+    return best.select(
+        *key_cols,
+        *[F.col(f"b.{c}").alias(c) for c in passthrough],
+        F.when(bypass, F.lit(1)).otherwise(F.col("b.i")).alias("nw"),
+        F.when(bypass, F.lit(1)).otherwise(F.col("b.j")).alias("nh"),
     )
 
 
