@@ -101,3 +101,63 @@ def test_windowed_append_mode_late_data_policy(spark, tmp_path):
     threshold = max_ts - timedelta(hours=2)
     expected_missing = {k for k in want if k[0] + timedelta(hours=1) > threshold}
     assert set(want) - set(got) == expected_missing
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: every emitted session must be
+    byte-equal to a batch `sessionize` session, and every session that
+    provably closed (ended more than one gap before the final watermark)
+    must have been emitted. Input files are written in time order so
+    cross-batch arrival respects event time (the operator's documented
+    contract: in-order within the watermark)."""
+    from datetime import timedelta
+
+    from deepseek_ocr_spark.operators.temporal import sessionize
+    from deepseek_ocr_spark.streaming.sessions import stream_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+
+    # time-ordered file layout → micro-batches arrive in event-time order
+    import os
+
+    os.makedirs(in_dir)
+    pdf = events.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n_files = 5
+    per = (len(pdf) + n_files - 1) // n_files
+    for f in range(n_files):
+        chunk = pdf.iloc[f * per : (f + 1) * per]
+        if len(chunk):
+            spark.createDataFrame(chunk).coalesce(1).write.parquet(
+                f"{in_dir}/part={f:02d}"
+            )
+
+    q = stream_sessionize(
+        spark, in_dir + "/*", ck, out_dir, gap_minutes=30,
+        watermark="0 seconds", max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["duration_us"]
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["duration_us"]
+        )
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    assert len(got) > 0
+    # every emitted session is exactly a batch session
+    mismatches = {k: (v, want.get(k)) for k, v in got.items() if want.get(k) != v}
+    assert mismatches == {}
+    # completeness: sessions that ended well before the end of the stream
+    # (more than one gap + slack before max ts) must all have been emitted
+    max_ts = events.agg({"ts": "max"}).collect()[0][0]
+    threshold = max_ts - timedelta(minutes=90)
+    must_have = {k for k, v in want.items() if v[0] < threshold}
+    missing = must_have - set(got)
+    assert missing == set(), sorted(missing)[:5]
