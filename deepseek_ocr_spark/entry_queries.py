@@ -307,6 +307,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: textops.metrics_rollup_salted(_docs(s, d)),
         textops.METRICS_ROLLUP_SQL,
     ),
+    "median_chars_by_lang": (
+        lambda s, d: textops.median_chars_by_lang(_docs(s, d)),
+        textops.MEDIAN_CHARS_SQL,
+    ),
+    "lang_source_pivot": (
+        lambda s, d: textops.lang_source_pivot(_docs(s, d)),
+        textops.LANG_SOURCE_PIVOT_SQL,
+    ),
     "span_extract": (
         lambda s, d: textops.span_extract(_docs(s, d)),
         textops.SPAN_EXTRACT_SQL,

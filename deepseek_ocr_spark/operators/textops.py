@@ -582,3 +582,61 @@ BROADCAST_DIM_JOIN_SQL = """
 SELECT d.doc_id, d.lang, e.label, d.n_chars
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """
+
+
+# --- exact distributional stats + pivot (relational breadth) -------------------
+
+
+def median_chars_by_lang(docs: DataFrame) -> DataFrame:
+    """Exact LOWER median of n_chars per lang via rank-against-count — the
+    deterministic cross-engine formulation (percentile/quantile built-ins
+    interpolate differently between engines). Window sort is per-lang;
+    at corpus scale an approx quantile sketch would replace this for
+    interactive use, with this exact plan as its verification oracle."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n"),
+    )
+    return (
+        # floor(): `/` is float division in both engines — without it an
+        # even-sized group's (n+1)/2 is x.5 and matches no rank
+        ranked.filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select("lang", F.col("n_chars").alias("median_chars"))
+    )
+
+
+MEDIAN_CHARS_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS _rn,
+         count(*) OVER (PARTITION BY lang) AS _n
+  FROM documents
+)
+SELECT lang, n_chars AS median_chars
+FROM ranked WHERE _rn = CAST(floor((_n + 1) / 2) AS BIGINT)
+"""
+
+
+def lang_source_pivot(docs: DataFrame) -> DataFrame:
+    """Doc counts pivoted lang × source — `pivot()` compiles to one
+    hash aggregation with a CASE-per-column (no extra shuffle vs the plain
+    groupBy; pivot values enumerated explicitly so the plan is static and
+    no driver-side distinct scan runs)."""
+    sources = [f"src{i}" for i in range(20)]
+    return (
+        docs.groupBy("lang")
+        .pivot("source", sources)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "lang",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in sources],
+        )
+    )
+
+
+LANG_SOURCE_PIVOT_SQL = "SELECT lang, " + ", ".join(
+    f"count(*) FILTER (WHERE source = 'src{i}') AS n_src{i}" for i in range(20)
+) + " FROM documents GROUP BY lang"
