@@ -356,6 +356,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: temporal.asof_join(_events(s, d), _t("orders")(s, d)),
         temporal.ASOF_JOIN_SQL,
     ),
+    "daily_active_users": (
+        lambda s, d: temporal.daily_active_users(_events(s, d)),
+        temporal.DAILY_ACTIVE_USERS_SQL,
+    ),
     # relational join/agg coverage over the TPC-H-shaped driver tables
     "tpch_pricing_summary": (
         lambda s, d: relational.pricing_summary(_t("lineitem")(s, d)),

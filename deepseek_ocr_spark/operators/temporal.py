@@ -8,10 +8,11 @@ existing DataFrame ops (no UDFs, no per-row Python):
 - ``asof_join``: each event matched to the most recent order at-or-before
   its timestamp. Implemented with the union-and-window technique: tag both
   streams, sort once per key by (time, tag), take ``last(..., ignorenulls)``
-  over the unbounded-preceding frame. ONE shuffle of (key, time, few cols) —
-  no range-join explosion, no per-key collect; this is the 100 TB shape
-  (a naive t1 <= t2 range join is quadratic in hot keys). DuckDB's native
-  ASOF JOIN is the oracle.
+  over the unbounded-preceding frame. ONE shuffle of the combined stream
+  (key, time, few cols) — plus a pre-reduce shuffle of the (smaller) order
+  side for tie dedup — no range-join explosion, no per-key collect; this is
+  the 100 TB shape (a naive t1 <= t2 range join is quadratic in hot keys).
+  DuckDB's native ASOF JOIN is the oracle.
 
 Determinism note: among several orders with the SAME (custkey, orderdate),
 "the most recent order" is ambiguous and engines disagree — both sides
@@ -132,4 +133,25 @@ WITH ords AS (
 SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.t AS o_orderdate
 FROM events e
 ASOF JOIN ords o ON e.user_id = o.user_id AND e.ts >= o.t
+"""
+
+
+def daily_active_users(events: DataFrame) -> DataFrame:
+    """Per-day distinct-user + event counts — the distinct-aggregate plan
+    shape (Expand + two-phase agg): partial distinct happens map-side per
+    (day, user), so the exchange carries at most |days|×|users| rows no
+    matter how many events there are."""
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return events.groupBy(day).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DAILY_ACTIVE_USERS_SQL = """
+-- CAST: DuckDB date_trunc('day') yields DATE while Spark yields timestamp
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
 """
