@@ -2,6 +2,7 @@
 file-source stream, checkpointed, idempotent, byte-identical to the oracle."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from deepseek_ocr_spark.datagen.synth import gen_documents
 from deepseek_ocr_spark.oracle.runner import run_oracle
@@ -161,3 +162,35 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     must_have = {k for k, v in want.items() if v[0] < threshold}
     missing = must_have - set(got)
     assert missing == set(), sorted(missing)[:5]
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicates-with-state: duplicates planted across micro-batches
+    must be dropped by the state store; survivors equal the batch
+    dedup_exact survivor set."""
+    from deepseek_ocr_spark.streaming.dedup_stream import stream_dedup_to_parquet
+
+    rows = gen_documents(20)
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    # plant exact-duplicate bodies under new urls (arrive in later files)
+    dupes = docs.limit(6).selectExpr(
+        "concat(url, '#dup') AS url", "warc_ts", "html", "text", "lang"
+    )
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    import os
+
+    os.makedirs(in_dir)
+    docs.coalesce(1).write.parquet(f"{in_dir}/b=0")
+    dupes.coalesce(1).write.parquet(f"{in_dir}/b=1")
+
+    q = stream_dedup_to_parquet(spark, in_dir + "/*", out_dir, ck,
+                                max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    texts = [r["text"] for r in got.collect()]
+    assert len(texts) == len(set(texts))  # no duplicate bodies survived
+    assert got.count() == docs.select("text").distinct().count()
+    assert got.filter(F.col("url").endswith("#dup")).count() == 0  # first wins
