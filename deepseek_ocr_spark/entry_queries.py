@@ -258,6 +258,42 @@ def replicated_driver_docs(spark: SparkSession, sf_dir: str, k: int) -> DataFram
     return out
 
 
+def q_tile_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-12 (Gundam grid geometry) relationally: explode the planned nw×nh
+    grid into row-major crop boxes (image_process.py:66-78) — posexplode of
+    a sequence, pure arithmetic per tile, no kernel call."""
+    planned = with_tile_plan(_dims_df(spark, sf_dir), ["doc_id"])
+    sz = F.lit(IMAGE_SIZE)
+    tiled = planned.filter((F.col("nw") > 1) | (F.col("nh") > 1)).select(
+        "doc_id", "nw", "nh",
+        F.posexplode(F.sequence(F.lit(0), F.col("nw") * F.col("nh") - 1)).alias("tile_ix", "_k"),
+    )
+    k, nw = F.col("_k"), F.col("nw")
+    return tiled.select(
+        "doc_id",
+        "tile_ix",
+        ((k % nw) * sz).cast("int").alias("x1"),
+        ((k / nw).cast("int") * sz).cast("int").alias("y1"),
+        ((k % nw + 1) * sz).cast("int").alias("x2"),
+        (((k / nw).cast("int") + 1) * sz).cast("int").alias("y2"),
+    )
+
+
+Q_TILE_BOXES_SQL = f"""
+WITH planned AS ({tile_plan_sql(_DIMS_SQL, ["doc_id"])}),
+tiled AS (
+  SELECT doc_id, nw, nh, unnest(range(nw * nh)) AS k
+  FROM planned WHERE nw > 1 OR nh > 1
+)
+SELECT doc_id, CAST(k AS INT) AS tile_ix,
+       CAST((k % nw) * {IMAGE_SIZE} AS INT) AS x1,
+       CAST((k // nw) * {IMAGE_SIZE} AS INT) AS y1,
+       CAST((k % nw + 1) * {IMAGE_SIZE} AS INT) AS x2,
+       CAST((k // nw + 1) * {IMAGE_SIZE} AS INT) AS y2
+FROM tiled
+"""
+
+
 # --- registry ----------------------------------------------------------------
 
 # name → (query_fn, oracle_sql_or_None)
@@ -266,6 +302,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tile_plan_argmin": (q_tile_plan_argmin, Q_TILE_PLAN_SQL),
     "vision_tokens": (q_vision_tokens, Q_VISION_TOKENS_SQL),
     "token_layout": (q_token_layout, Q_TOKEN_LAYOUT_SQL),
+    "tile_boxes": (q_tile_boxes, Q_TILE_BOXES_SQL),
     "deterministic_sample": (
         lambda s, d: textops.deterministic_sample(_docs(s, d)),
         textops.DETERMINISTIC_SAMPLE_SQL,

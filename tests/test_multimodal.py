@@ -91,3 +91,21 @@ def test_decode_injectable_codec_interface(spark):
     got = {r["doc_id"]: r for r in decode_image_meta(docs, decoder=fake_real).collect()}
     assert (got[1]["img_width"], got[1]["img_height"], got[1]["channels"]) == (30, 15, 3)
     assert got[2]["n_bytes"] == 5 and got[2]["img_width"] == 50
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_sniff_fuzz_never_raises(payload):
+    r = sniff_image_meta(payload)
+    assert r is None or (isinstance(r, tuple) and len(r) == 4)
+
+
+@given(st.binary(min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_sniff_fuzz_jpeg_prefixed(payload):
+    # adversarial: valid JPEG SOI then garbage — must parse or reject, never raise
+    r = sniff_image_meta(b"\xff\xd8" + payload)
+    assert r is None or r[0] == "jpeg"

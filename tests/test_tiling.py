@@ -90,3 +90,24 @@ def test_tile_boxes_row_major():
     assert boxes[1] == (640, 0, 1280, 640)
     assert boxes[2] == (0, 640, 640, 1280)
     assert boxes[-1] == (640, 1280, 1280, 1920)
+
+
+def test_tile_boxes_query_matches_kernel(spark):
+    """The relational O-12 grid (entry_queries.q_tile_boxes) must equal the
+    kernel's dynamic_preprocess boxes for every planned page."""
+    import __spark_entry__ as entry_mod
+    from deepseek_ocr_spark.kernels.tiling import tile_boxes, tile_plan
+
+    rows = entry_mod.queries()["tile_boxes"](spark, "/root/testdata/sf0.001").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["tile_ix"], r["x1"], r["y1"], r["x2"], r["y2"])
+        )
+    assert got, "no tiled pages in the sample"
+    for doc_id, boxes in got.items():
+        w = 320 + (doc_id * 37) % 2240
+        h = 320 + (doc_id * 53) % 2240
+        nw, nh = tile_plan(w, h)
+        want = [(i, *b) for i, b in enumerate(tile_boxes(nw, nh))]
+        assert sorted(boxes) == want, doc_id
