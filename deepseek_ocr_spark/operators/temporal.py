@@ -29,12 +29,20 @@ SESSION_GAP_MINUTES = 30
 
 
 def _epoch_us(c: F.Column) -> F.Column:
-    """TIMESTAMP_NTZ → exact epoch MICROSECONDS. Seconds-granularity epochs
-    are a parity trap: Spark's cast-to-long floors while DuckDB's
-    CAST(epoch() ...) rounds, so borderline gaps split sessions differently.
-    unix_micros ⇔ DuckDB epoch_us are both exact integers. NTZ→LTZ
-    interprets in the session tz (pinned UTC, session.py)."""
-    return F.unix_micros(c.cast("timestamp_ltz"))
+    """TIMESTAMP_NTZ → exact epoch MICROSECONDS, SESSION-TZ-INDEPENDENT.
+
+    Two parity traps avoided (both verified by running under a non-UTC
+    session vs DuckDB epoch_us):
+    - seconds granularity: Spark's cast-to-long floors while DuckDB's
+      CAST(epoch()) rounds, so borderline gaps split sessions differently
+      → stay in exact integer microseconds;
+    - ``unix_micros(c.cast('timestamp_ltz'))`` interprets the naive value
+      in the SESSION timezone — correct only when the caller pinned UTC.
+      Interval-since-epoch + fractional-second extract never consults the
+      session zone. (Domain: post-1970 timestamps.)"""
+    iv_sec = (c - F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))).cast("long")
+    frac_us = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long") % 1_000_000
+    return iv_sec * 1_000_000 + frac_us
 
 
 def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
@@ -140,8 +148,10 @@ def daily_active_users(events: DataFrame) -> DataFrame:
     """Per-day distinct-user + event counts — the distinct-aggregate plan
     shape (Expand + two-phase agg): partial distinct happens map-side per
     (day, user), so the exchange carries at most |days|×|users| rows no
-    matter how many events there are."""
-    day = F.date_trunc("day", F.col("ts")).alias("day")
+    matter how many events there are.
+
+    cast-to-date (tz-free on NTZ), not date_trunc — see events_hourly."""
+    day = F.col("ts").cast("date").cast("timestamp_ntz").alias("day")
     return events.groupBy(day).agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),

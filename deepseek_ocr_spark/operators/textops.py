@@ -553,8 +553,16 @@ SELECT doc_id, source, rnk FROM (
 
 
 def events_hourly(events: DataFrame) -> DataFrame:
+    # NOT date_trunc: Spark's date_trunc coerces TIMESTAMP_NTZ to LTZ and
+    # truncates in the SESSION timezone (wrong by :30 under a half-hour-
+    # offset zone); make_timestamp_ntz from tz-free field extracts matches
+    # DuckDB's naive date_trunc under ANY session zone (verified).
+    hour_ntz = F.make_timestamp_ntz(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+        F.hour("ts"), F.lit(0), F.lit(0),
+    )
     return events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        hour_ntz.alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
