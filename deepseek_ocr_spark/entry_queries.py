@@ -344,6 +344,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: textops.metrics_rollup_salted(_docs(s, d)),
         textops.METRICS_ROLLUP_SQL,
     ),
+    # composite end-to-end cleaning pass (dedup → language → quality)
+    "corpus_clean": (
+        lambda s, d: textops.corpus_clean(_docs(s, d)),
+        textops.corpus_clean_sql(),
+    ),
     "median_chars_by_lang": (
         lambda s, d: textops.median_chars_by_lang(_docs(s, d)),
         textops.MEDIAN_CHARS_SQL,

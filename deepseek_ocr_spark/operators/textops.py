@@ -648,3 +648,84 @@ def lang_source_pivot(docs: DataFrame) -> DataFrame:
 LANG_SOURCE_PIVOT_SQL = "SELECT lang, " + ", ".join(
     f"count(*) FILTER (WHERE source = 'src{i}') AS n_src{i}" for i in range(20)
 ) + " FROM documents GROUP BY lang"
+
+
+# --- composite: the end-to-end corpus-cleaning pass ---------------------------
+
+
+def _quality_col() -> F.Column:
+    """The quality_score expression as a reusable column (same math as
+    quality_score — composition must not fork the definition)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    mean_wl = (F.length("text") - (n - 1)).cast("double") / n
+    return F.round(
+        F.least(n.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop.cast("double") * 10 / n, F.lit(1.0)) * 0.25
+        + F.when((mean_wl >= 3) & (mean_wl <= 8), 0.25).otherwise(0.0),
+        4,
+    )
+
+
+def _stopword_ratio_col() -> F.Column:
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    return F.round(stop.cast("double") / F.size(toks), 4)
+
+
+def corpus_clean(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The realistic training-data cleaning pass, composed end-to-end:
+    exact-dedup survivors → language gate → quality gate.
+
+    ONE shuffle total (the dedup window on md5(text)); the language and
+    quality gates are pure column expressions evaluated in the same stage —
+    composition does not multiply shuffles. At corpus scale the window
+    would become the groupBy-survivor semi-join only if survivor policy
+    needed more than first-by-id."""
+    win = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = docs.withColumn("_rk", F.row_number().over(win)).filter(
+        F.col("_rk") == 1
+    )
+    return (
+        survivors.select(
+            "doc_id", "lang", "source", "n_chars",
+            _stopword_ratio_col().alias("stopword_ratio"),
+            _quality_col().alias("quality"),
+        )
+        .filter((F.col("stopword_ratio") > 0.03) & (F.col("quality") >= min_quality))
+        .select("doc_id", "lang", "source", "n_chars", "quality")
+    )
+
+
+def corpus_clean_sql(min_quality: float = 0.5) -> str:
+    return f"""
+WITH survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS _rk
+    FROM documents
+  ) WHERE _rk = 1
+),
+t AS (
+  SELECT doc_id, lang, source, n_chars, text,
+         string_split(text, ' ') AS toks, length(text) AS nc
+  FROM survivors
+),
+s AS (
+  SELECT doc_id, lang, source, n_chars, len(toks) AS n,
+         len(list_filter(toks, x -> x IN ({_SW}))) AS stop,
+         CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wl
+  FROM t
+),
+scored AS (
+  SELECT doc_id, lang, source, n_chars,
+         round(CAST(stop AS DOUBLE) / n, 4) AS stopword_ratio,
+         round(least(CAST(n AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least(CAST(stop AS DOUBLE) * 10 / n, 1.0) * 0.25
+               + CASE WHEN mean_wl >= 3 AND mean_wl <= 8 THEN 0.25 ELSE 0.0 END,
+               4) AS quality
+  FROM s
+)
+SELECT doc_id, lang, source, n_chars, quality
+FROM scored WHERE stopword_ratio > 0.03 AND quality >= {min_quality}
+"""
