@@ -28,6 +28,34 @@ from pyspark.sql import functions as F
 SHINGLE_WIDTH = 3
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before a map-heavy projection
+    (same policy as extract_job.spread_input): a well-laid-out production
+    table has thousands of splits and this is a no-op; the sandbox's
+    single-file driver parquet would otherwise run the whole zero-shuffle
+    sketch pipeline in ONE task (observed)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def shingles_array(text_col: str = "text") -> F.Column:
+    """Word 3-gram shingles of one document as an ARRAY column expression —
+    zero explode, zero shuffle. A document's text already lives in one row,
+    so per-doc sketches (minhash, fingerprint) are projections over this
+    array rather than explode→groupBy round trips; memory is bounded by the
+    document itself (which the row already holds)."""
+    l = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(l) >= SHINGLE_WIDTH,
+        F.transform(
+            F.sequence(F.lit(0), F.size(l) - SHINGLE_WIDTH),
+            lambda i: F.concat_ws(" ", F.slice(l, i + 1, SHINGLE_WIDTH)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Word 3-gram shingles, one row per (doc, shingle).
 
@@ -91,14 +119,32 @@ def _check_bands(n_hashes: int, n_bands: int) -> int:
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """(doc_id, h0..h{K-1}, band0..band{B-1}) — K minhashes + banded keys."""
+    """(doc_id, h0..h{K-1}, band0..band{B-1}) — K minhashes + banded keys.
+
+    ZERO-shuffle formulation: each minhash is ``array_min`` over the doc's
+    own shingle array (see shingles_array) — a pure projection, so signature
+    computation is map-only and the only shuffle in the LSH pipeline is the
+    band self-join itself. (Was explode → K min-aggs: a full shuffle of
+    every (doc, shingle) pair just to come back to one row per doc.)
+    Docs with <SHINGLE_WIDTH tokens have no shingles and are excluded,
+    matching the SQL oracle's explode semantics."""
     r = _check_bands(n_hashes, n_bands)
-    sh = _shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")))).alias(f"h{k}")
+    # the has-shingles gate is expressed on token count, NOT size(_sh) > 0:
+    # Catalyst pushes filters below the spread exchange, and a filter on the
+    # shingle array would rebuild the whole transform serially in the scan
+    # task (observed) — the equivalent token-count predicate is cheap there
+    has_shingles = F.size(F.split(F.col("text"), " ")) >= SHINGLE_WIDTH
+    sh = (
+        spread_input(docs.filter(has_shingles))
+        .select("doc_id", shingles_array().alias("_sh"))
+    )
+    hash_cols = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda x: F.md5(F.concat(x, F.lit(f":{k}"))))
+        ).alias(f"h{k}")
         for k in range(n_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = sh.select("doc_id", *hash_cols)
     band_cols = [
         F.md5(F.concat(*[f"h{b * r + i}" for i in range(r)])).alias(f"band{b}")
         for b in range(n_bands)

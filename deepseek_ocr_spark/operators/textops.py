@@ -410,20 +410,27 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """md5 over the 8 lexicographically-smallest distinct 3-gram shingles —
     an order-invariant rolling-hash-style document fingerprint.
 
-    Bounded per-group state: the naive ``slice(array_sort(collect_list()))``
-    would buffer EVERY distinct shingle of a document in one aggregation
-    buffer before keeping 8 — a per-group memory blowup on book-length docs
-    at corpus scale. Instead a sort-based window ``row_number() <= 8`` keeps
-    only the 8 smallest per doc before the (now ≤8-element) collect."""
-    from deepseek_ocr_spark.operators.dedup import _shingles
+    ZERO-shuffle formulation: the doc's text is already one row, so the
+    top-8 is ``slice(array_sort(array_distinct(shingles_array)))`` — a pure
+    projection. Memory is bounded by the document itself (the row already
+    holds the text); no explode, no distinct shuffle, no window sort.
+    (History: v1 used collect_list over an exploded shuffle — unbounded agg
+    buffers; v2 a row_number window — bounded but still a shuffle + sort.)"""
+    from deepseek_ocr_spark.operators.dedup import (
+        SHINGLE_WIDTH,
+        shingles_array,
+        spread_input,
+    )
 
-    sh = _shingles(docs).distinct()
-    win = Window.partitionBy("doc_id").orderBy("shingle")
-    top8 = sh.withColumn("_rn", F.row_number().over(win)).filter(F.col("_rn") <= 8)
-    return (
-        top8.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("shingle")).alias("top8"))
-        .select("doc_id", F.md5(F.array_join("top8", "|")).alias("fingerprint"))
+    # token-count gate, not size(shingles) — see minhash_signatures note
+    has_shingles = F.size(F.split(F.col("text"), " ")) >= SHINGLE_WIDTH
+    sh = (
+        spread_input(docs.filter(has_shingles))
+        .select("doc_id", shingles_array().alias("_sh"))
+    )
+    top8 = F.slice(F.array_sort(F.array_distinct("_sh")), 1, 8)
+    return sh.select(
+        "doc_id", F.md5(F.array_join(top8, "|")).alias("fingerprint")
     )
 
 
