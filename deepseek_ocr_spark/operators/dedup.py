@@ -215,16 +215,25 @@ _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 16-bit majority-vote signature over token md5s."""
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    toks = toks.withColumn("h", F.md5("t"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.substring("h", b + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+    """(doc_id, simhash) — 16-bit majority-vote signature over token md5s.
+
+    ZERO-shuffle: the token md5s of one document are a map-side array
+    (one md5 walk), and each bit's majority vote is a fold over that array —
+    no explode, no groupBy (was: token explode + 16 sum-aggs = a shuffle of
+    every token). Multiset semantics identical to the exploded form."""
+    sp = spread_input(docs)
+    md5s = F.transform(F.split("text", " "), lambda t: F.md5(t))
+    votes = sp.select("doc_id", md5s.alias("_h"))
+    vote_cols = [
+        F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, b + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1),
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    votes = toks.groupBy("doc_id").agg(*bit_aggs)
+    votes = votes.select("doc_id", *vote_cols)
     sim = None
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
