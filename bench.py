@@ -45,14 +45,27 @@ def main() -> None:
     # prune the finalize stage and under-measure.
     import tempfile
 
+    # noisy-VM robustness (same reasoning as BENCH/scaling.py): external
+    # interference only ever SLOWS a run, so each query is timed BENCH_RUNS
+    # times (default 2) and the minimum is reported
+    n_runs = int(os.environ.get("BENCH_RUNS", "2"))
+
+    def timed(action) -> float:
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            action()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     docs_path = tempfile.mkdtemp(prefix="bench_docs_") + "/docs"
     docs_from_driver_table(spark, sf_dir).write.parquet(docs_path)
     docs = spark.read.parquet(docs_path)
     extracted = extract_documents(docs)
-    t0 = time.time()
-    extracted.write.format("noop").mode("overwrite").save()
-    extract_sec = time.time() - t0
-    timings["extract_pipeline"] = round(extract_sec, 3)
+    extract_sec = timed(
+        lambda: extracted.write.format("noop").mode("overwrite").save()
+    )
+    timings["extract_pipeline"] = extract_sec
     # page/doc counters via the pruned fast path (not timed)
     row = extract_documents(docs).selectExpr(
         "sum(n_pages) as pages", "count(*) as docs", "sum(n_vision_tokens) as vt"
@@ -86,11 +99,12 @@ def main() -> None:
     ]
     reg = registry()
     for name in bench_queries:
-        t0 = time.time()
+        df = reg[name](spark, sf_dir)
         # noop write of ALL columns — .count() would let Catalyst prune the
         # aggregate/computed columns out of the measured plan (CLAUDE.md)
-        reg[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed(
+            lambda df=df: df.write.format("noop").mode("overwrite").save()
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
