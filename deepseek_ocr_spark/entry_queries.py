@@ -357,6 +357,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: textops.lang_source_pivot(_docs(s, d)),
         textops.LANG_SOURCE_PIVOT_SQL,
     ),
+    "stratified_sample": (
+        lambda s, d: textops.stratified_sample(_docs(s, d)),
+        textops.stratified_sample_sql(),
+    ),
     "span_extract": (
         lambda s, d: textops.span_extract(_docs(s, d)),
         textops.SPAN_EXTRACT_SQL,
@@ -487,6 +491,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "similarity_ann_lsh": (
         lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         similarity.ann_lsh_topk_sql(),
+    ),
+    # IVF (inverted-file) ANN — centroid codebook, n_probe bucket scan
+    "similarity_ann_ivf": (
+        lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
+        similarity.ann_ivf_topk_sql(),
     ),
     # finer bucketing (8 planes / 256 buckets) — the 100 TB-ish setting
     "similarity_ann_lsh_256": (

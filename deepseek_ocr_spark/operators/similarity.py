@@ -219,3 +219,149 @@ scored AS (
 )
 SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
+
+
+# --- IVF (inverted-file) ANN — the centroid-bucketed scale path ----------------
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _centroid_coef(cid: int, i: int) -> float:
+    """Deterministic pseudo-centroid component — a ±1 pattern family
+    distinct from the LSH hyperplanes (same philosophy: a real deployment
+    trains a k-means codebook offline; the INDEX/QUERY dataflow — assign,
+    probe, bucket-restricted scan — is what this operator exercises, and a
+    fixed codebook keeps it data-independent and SQL-literal)."""
+    return 1.0 if ((i * (cid + 3)) // 5) % 2 == 0 else -1.0
+
+
+def _centroids(n_centroids: int, dim: int):
+    return [
+        (cid, [_centroid_coef(cid, i) for i in range(dim)])
+        for cid in range(n_centroids)
+    ]
+
+
+def _scored_against_centroids(
+    emb: DataFrame, n_centroids: int, dim: int
+) -> DataFrame:
+    """(vec_id, centroid_id, ccos) via a broadcast n_centroids-row cross
+    join — same shape as the tile-plan argmin."""
+    spark = emb.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            _centroids(n_centroids, dim), "centroid_id INT, cvec ARRAY<DOUBLE>"
+        )
+    )
+    e, c = F.col("embedding"), F.col("cvec")
+    cos = _dot(e, c) / (_norm(e) * _norm(c))
+    return emb.crossJoin(cent_df).select(
+        "vec_id", "centroid_id", F.round(cos, 6).alias("ccos")
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, dim: int = 64
+) -> DataFrame:
+    """(vec_id, centroid_id) — each vector assigned to its max-cosine
+    centroid (ties → lowest centroid_id). Map-side min(struct) argmax over
+    the broadcast codebook — zero shuffle; at 100 TB this is the
+    materialized index table, written partitioned by centroid_id."""
+    scored = _scored_against_centroids(emb, n_centroids, dim)
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct((-F.col("ccos")).alias("nc"), F.col("centroid_id").alias("cid"))
+        ).alias("b")
+    )
+    return best.select("vec_id", F.col("b.cid").alias("centroid_id"))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN: scan only the ``n_probe`` centroid buckets nearest the
+    query — the inverted-file counterpart to the hyperplane-LSH path; each
+    probe prunes to ~n_probe/n_centroids of the corpus. Probe selection is
+    itself relational (top-n of the query row's centroid scores)."""
+    scored = _scored_against_centroids(emb, n_centroids, dim)
+    probe = (
+        scored.filter(F.col("vec_id") == query_vec_id)
+        .orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cand = (
+        ivf_assignments(emb, n_centroids, dim)
+        .join(F.broadcast(probe), "centroid_id")
+        .select("vec_id")
+    )
+    return cosine_topk(
+        emb.join(F.broadcast(cand), "vec_id", "inner")
+        .unionByName(emb.filter(F.col("vec_id") == query_vec_id))
+        .dropDuplicates(["vec_id"]),
+        query_vec_id,
+        k,
+    )
+
+
+def _centroids_values_sql(n_centroids: int, dim: int) -> str:
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(cid, ", ".join(str(v) for v in vec))
+        for cid, vec in _centroids(n_centroids, dim)
+    )
+    return f"(VALUES {rows}) AS c(centroid_id, cvec)"
+
+
+def ann_ivf_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    dim: int = 64,
+) -> str:
+    ccos = (
+        "round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.cvec[i] "
+        "FOR i IN range(1, len(e.embedding) + 1)]) "
+        "/ (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding])) "
+        "* sqrt(list_sum([x * x FOR x IN c.cvec]))), 6)"
+    )
+    return f"""
+WITH scored AS (
+  SELECT e.vec_id, c.centroid_id, {ccos} AS ccos
+  FROM embeddings e CROSS JOIN {_centroids_values_sql(n_centroids, dim)}
+),
+assignments AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT centroid_id FROM scored WHERE vec_id = {query_vec_id}
+  ORDER BY ccos DESC, centroid_id LIMIT {n_probe}
+),
+cand AS (
+  SELECT a.vec_id FROM assignments a JOIN probe p USING (centroid_id)
+  UNION SELECT {query_vec_id}
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+final AS (
+  SELECT e.vec_id,
+         round(
+           list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                     FOR i IN range(1, len(e.embedding) + 1)])
+           / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding]))
+              * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.qv]))),
+           4) AS cos
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, qv q
+  WHERE e.vec_id != {query_vec_id}
+)
+SELECT vec_id, cos FROM final ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""

@@ -736,3 +736,23 @@ scored AS (
 SELECT doc_id, lang, source, n_chars, quality
 FROM scored WHERE stopword_ratio > 0.03 AND quality >= {min_quality}
 """
+
+
+def stratified_sample(docs: DataFrame, en_pct: int = 50, other_pct: int = 10) -> DataFrame:
+    """Deterministic per-stratum sampling (`sampleBy` analog): language-
+    dependent keep rates over the md5 hash space — exactly replayable
+    across reruns and engines, unlike rand()-based sampleBy. The standard
+    move for rebalancing language mix in a training corpus."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint") % 100
+    rate = F.when(F.col("lang") == "en", en_pct).otherwise(other_pct)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+def stratified_sample_sql(en_pct: int = 50, other_pct: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)) % 100
+      < CASE WHEN lang = 'en' THEN {en_pct} ELSE {other_pct} END
+"""
