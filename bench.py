@@ -82,6 +82,7 @@ def main() -> None:
         "similarity_topk",
         "similarity_ann_lsh",
         "similarity_ann_lsh_256",
+        "similarity_ann_ivf",
         "langid_heuristic",
         "quality_score",
         "token_count",
@@ -96,6 +97,8 @@ def main() -> None:
         "tpch_star_region_rollup",
         "semi_join_open_orders",
         "salted_hot_key_join",
+        "corpus_clean",
+        "daily_active_users",
     ]
     reg = registry()
     for name in bench_queries:
