@@ -402,6 +402,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: temporal.asof_join(_events(s, d), _t("orders")(s, d)),
         temporal.ASOF_JOIN_SQL,
     ),
+    "props_json_rollup": (
+        lambda s, d: temporal.props_json_rollup(_events(s, d)),
+        temporal.PROPS_JSON_ROLLUP_SQL,
+    ),
     "daily_active_users": (
         lambda s, d: temporal.daily_active_users(_events(s, d)),
         temporal.DAILY_ACTIVE_USERS_SQL,

@@ -165,3 +165,25 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        count(*) AS n_events
 FROM events GROUP BY 1
 """
+
+
+def props_json_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column
+    (schema-on-read) and aggregate the extracted field per event_type.
+    ``from_json`` with an explicit schema stays in codegen and NULLs out
+    malformed documents instead of failing the task — the right contract
+    for a web-scale JSON column."""
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(k, F.lit(0)).cast("bigint")).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+PROPS_JSON_ROLLUP_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS INT), 0)) AS BIGINT) AS sum_k,
+       count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k
+FROM events GROUP BY event_type
+"""
