@@ -259,36 +259,40 @@ SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM votes
 """
 
 
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — each doc's DISTINCT shingle set as one
+    array row (zero shuffle, see shingles_array)."""
+    has_shingles = F.size(F.split(F.col("text"), " ")) >= SHINGLE_WIDTH
+    return (
+        spread_input(docs.filter(has_shingles))
+        .select("doc_id", F.array_distinct(shingles_array()).alias("sh"))
+    )
+
+
 def ngram_jaccard_adjacent(docs: DataFrame) -> DataFrame:
     """(a_doc_id, b_doc_id, jaccard) for adjacent doc_id pairs — banded
-    pairwise n-gram Jaccard (distinct word 3-grams)."""
-    sh = _shingles(docs).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("b.doc_id") == F.col("a.doc_id") + 1),
-        )
-        .groupBy(F.col("a.doc_id").alias("a_doc_id"), F.col("b.doc_id").alias("b_doc_id"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    pairwise n-gram Jaccard (distinct word 3-grams).
+
+    Set-array formulation: the join is on doc_id (+1) and the intersection
+    is ``array_intersect`` per joined row — NO shuffle on the shingle key
+    (the old plan exploded shingles and shuffled every (doc, shingle) pair
+    to equi-join on shingle). Memory per row = the two docs' shingle sets,
+    the same order as the texts themselves. Pairs sharing zero shingles are
+    dropped, matching the old inner-join semantics."""
+    a = _shingle_sets(docs).alias("a")
+    b = _shingle_sets(docs).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
     return (
-        inter.join(sa, F.col("a_doc_id") == F.col("sa.doc_id"))
-        .join(sb, F.col("b_doc_id") == F.col("sb.doc_id"))
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .select(
-            "a_doc_id",
-            "b_doc_id",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
+            F.col("a.doc_id").alias("a_doc_id"),
+            F.col("b.doc_id").alias("b_doc_id"),
+            inter.alias("_i"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
+        .filter(F.col("_i") >= 1)
+        .drop("_i")
     )
 
 
@@ -301,35 +305,24 @@ def dedup_minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame
     Returns (a_doc_id, b_doc_id, jaccard, is_dup).
     """
     cands = dedup_minhash_pairs(docs)
-    sh = _shingles(docs).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cands.join(a, F.col("a_doc_id") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("b_doc_id") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("a_doc_id", "b_doc_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sets = _shingle_sets(docs)
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
     jac = (
-        inter.join(sa, F.col("a_doc_id") == F.col("sa.doc_id"))
-        .join(sb, F.col("b_doc_id") == F.col("sb.doc_id"))
+        cands.join(a, F.col("a_doc_id") == F.col("a.doc_id"))
+        .join(b, F.col("b_doc_id") == F.col("b.doc_id"))
         .select(
             "a_doc_id",
             "b_doc_id",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
+            inter.alias("_i"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
+        # LSH candidates sharing zero shingles drop, as in the old
+        # inner-join-on-shingle plan (band collisions can be hash flukes)
+        .filter(F.col("_i") >= 1)
+        .drop("_i")
     )
     return jac.withColumn("is_dup", F.col("jaccard") >= threshold)
 
