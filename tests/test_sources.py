@@ -25,3 +25,65 @@ def test_binaryfile_dir_source_end_to_end(spark, tmp_path):
 def test_iceberg_gated_error(spark):
     with pytest.raises(RuntimeError, match="Iceberg runtime not available"):
         load_documents_iceberg(spark, "catalog.db.documents")
+
+
+def _warc_record(uri, date, html, wtype="response"):
+    http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    hdr = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Length: 0\r\n"
+    )
+    return hdr + "\r\n" + http + "\r\n" + html + "\r\n\r\n"
+
+
+def test_warc_source(spark, tmp_path):
+    """Pure-Catalyst WARC response-record parser: responses extracted with
+    url/timestamp/payload; request/metadata records and payload-internal
+    blank lines handled."""
+    from deepseek_ocr_spark.sources.warc import load_documents_warc
+
+    body_with_blank = (
+        '<div class="page" data-page="0"><p>hello</p></div>\r\n\r\n<p>tail</p>'
+    )
+    warc = (
+        _warc_record("http://a.example/x", "2024-01-02T03:04:05Z",
+                     "<html><p>A</p></html>")
+        + _warc_record("http://a.example/x", "2024-01-02T03:04:05Z",
+                       "GET / HTTP/1.1", wtype="request")
+        + _warc_record("http://b.example/y", "2024-02-03T04:05:06Z",
+                       body_with_blank)
+    )
+    d = tmp_path / "warc_in"
+    d.mkdir()
+    (d / "seg-00000.warc").write_text(warc, newline="")
+
+    got = {r["url"]: r for r in load_documents_warc(spark, str(d)).collect()}
+    assert set(got) == {"http://a.example/x", "http://b.example/y"}
+    a = got["http://a.example/x"]
+    assert bytes(a["html"]).decode() == "<html><p>A</p></html>"
+    assert a["warc_ts"].isoformat().startswith("2024-01-02T03:04:05")
+    # payload-internal blank line survives the limit-3 split
+    assert bytes(got["http://b.example/y"]["html"]).decode() == body_with_blank
+
+
+def test_jsonl_source(spark, tmp_path):
+    """PERMISSIVE JSONL scan: good lines parse, corrupt lines survive in
+    _corrupt_record instead of failing the job."""
+    from deepseek_ocr_spark.sources.warc import load_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"url": "u1", "warc_ts": "2024-01-01T00:00:00", "html": "<p>x</p>", "text": "x", "lang": "en"}\n'
+        "this is not json at all\n"
+        '{"url": "u2", "html": "<p>y</p>"}\n'
+    )
+    df = load_documents_jsonl(spark, str(p))
+    rows = {r["url"]: r for r in df.collect()}
+    assert bytes(rows["u1"]["html"]).decode() == "<p>x</p>"
+    assert rows["u1"]["lang"] == "en"
+    assert rows["u2"]["warc_ts"] is None
+    corrupt = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt_record"]
