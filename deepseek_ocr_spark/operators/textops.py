@@ -43,7 +43,13 @@ FROM documents WHERE contains(text, '{EOS_MARKER}')
 
 def ordered_assembly(docs: DataFrame) -> DataFrame:
     """Group docs by source, concatenate texts in doc_id order with the page
-    separator appended after every element (pdf.py:296-298 semantics)."""
+    separator appended after every element (pdf.py:296-298 semantics).
+
+    Scale note: the PRODUCTION assembly groups by url (pages of one doc —
+    bounded by the doc itself; extract_job does exactly that). This demo
+    variant groups by the 20-value source key purely to oracle-check the
+    sorted-collect semantics; a 20-group unbounded concat would be wrong
+    at corpus scale and is not used there."""
     return docs.groupBy("source").agg(
         F.array_join(
             F.transform(
@@ -605,9 +611,11 @@ FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 def median_chars_by_lang(docs: DataFrame) -> DataFrame:
     """Exact LOWER median of n_chars per lang via rank-against-count — the
     deterministic cross-engine formulation (percentile/quantile built-ins
-    interpolate differently between engines). Window sort is per-lang;
-    at corpus scale an approx quantile sketch would replace this for
-    interactive use, with this exact plan as its verification oracle."""
+    interpolate differently between engines). Scale note: the window sort
+    partitions on the ~5-value lang key — 5 reducers sorting everything is
+    NOT a 10^12-row plan; at corpus scale ``approx_percentile`` (sketch,
+    map-side mergeable) serves queries and this exact plan verifies it on
+    samples."""
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     ranked = docs.select(
         "lang",

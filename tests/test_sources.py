@@ -1,6 +1,7 @@
 """Directory-of-files source (O-1 analog) + Iceberg gating."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from deepseek_ocr_spark.datagen.synth import gen_documents
 from deepseek_ocr_spark.oracle.runner import run_oracle
@@ -87,3 +88,28 @@ def test_jsonl_source(spark, tmp_path):
     assert rows["u2"]["warc_ts"] is None
     corrupt = [r for r in rows.values() if r["_corrupt_record"] is not None]
     assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt_record"]
+
+
+def test_warc_feeds_extract_pipeline(spark, tmp_path):
+    """Integration: WARC records flow through the full extraction pipeline
+    and match the single-node oracle byte-for-byte."""
+    from deepseek_ocr_spark.oracle.runner import extract_url
+    from deepseek_ocr_spark.pipeline.extract_job import extract_documents
+    from deepseek_ocr_spark.sources.warc import load_documents_warc
+
+    page = ('<div class="page" data-page="0" data-width="800" data-height="600">'
+            "<h1>Title</h1><p>warc body text</p></div>")
+    warc = _warc_record("http://w.example/doc", "2024-03-04T05:06:07Z",
+                        f"<html><body>{page}</body></html>")
+    d = tmp_path / "warc_pipe"
+    d.mkdir()
+    (d / "seg.warc").write_text(warc, newline="")
+
+    docs = load_documents_warc(spark, str(d)).drop("_corrupt_record", "text", "lang") \
+        .withColumn("text", F.lit(None).cast("string")) \
+        .withColumn("lang", F.lit(None).cast("string"))
+    got = extract_documents(docs).collect()
+    assert len(got) == 1
+    want = extract_url("http://w.example/doc",
+                       f"<html><body>{page}</body></html>".encode())
+    assert got[0]["text"] == want["text"] and len(got[0]["text"]) > 0
