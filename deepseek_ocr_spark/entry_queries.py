@@ -475,6 +475,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     # production-scale sketch parameterization (16 hashes / 4 bands) — the
     # Spark and SQL generators must stay in sync for ANY (K, B) setting
+    # hot-bucket guard engaged: cap=2 excludes the corpus's size-3 buckets
+    # (27 → 24 pairs at sf0.01), proving the capped path is not a no-op
+    "dedup_minhash_pairs_capped": (
+        lambda s, d: dedup.dedup_minhash_pairs(_docs(s, d), max_bucket=2),
+        dedup.dedup_minhash_pairs_sql(max_bucket=2),
+    ),
     "dedup_minhash_pairs_16x4": (
         lambda s, d: dedup.dedup_minhash_pairs(_docs(s, d), n_hashes=16, n_bands=4),
         dedup.dedup_minhash_pairs_sql(n_hashes=16, n_bands=4),

@@ -177,14 +177,31 @@ FROM sig
 
 
 def dedup_minhash_pairs(
-    docs: DataFrame, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (a_doc_id < b_doc_id) sharing any LSH band."""
+    """Candidate near-dup pairs (a_doc_id < b_doc_id) sharing any LSH band.
+
+    ``max_bucket`` guards the classic LSH hot-bucket blowup: one viral
+    document duplicated a million times puts 10^6 ids in one band bucket →
+    10^12 candidate pairs from a single key. Buckets larger than the cap
+    are excluded from pairing ENTIRELY (deterministic — their members are
+    trivially findable by exact dedup anyway, which is why the composition
+    runs dedup_exact first). None = exact/uncapped."""
     n_bands_cols = [f"band{b}" for b in range(n_bands)]
     sig = minhash_signatures(docs, n_hashes, n_bands)
     bands = sig.select(
         "doc_id", F.explode(F.array(*n_bands_cols)).alias("band")
     )
+    if max_bucket is not None:
+        sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
+        bands = (
+            bands.join(sizes, "band")
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -195,16 +212,28 @@ def dedup_minhash_pairs(
 
 
 def dedup_minhash_pairs_sql(
-    table: str = "documents", n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+    table: str = "documents",
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = None,
 ) -> str:
     band_union = "\n  UNION ALL ".join(
         f"SELECT doc_id, band{b} AS band FROM sig" for b in range(n_bands)
     )
+    cap = ""
+    if max_bucket is not None:
+        cap = f""",
+bands AS (
+  SELECT doc_id, band FROM (
+    SELECT doc_id, band, count(*) OVER (PARTITION BY band) AS _bn FROM bands0
+  ) WHERE _bn <= {max_bucket}
+)"""
+    bands_name = "bands0" if max_bucket is not None else "bands"
     return f"""
 WITH sig AS ({minhash_sql(table, n_hashes, n_bands)}),
-bands AS (
+{bands_name} AS (
   {band_union}
-)
+){cap}
 SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
 """
