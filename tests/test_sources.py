@@ -113,3 +113,25 @@ def test_warc_feeds_extract_pipeline(spark, tmp_path):
     want = extract_url("http://w.example/doc",
                        f"<html><body>{page}</body></html>".encode())
     assert got[0]["text"] == want["text"] and len(got[0]["text"]) > 0
+
+
+def test_warc_hostile_never_crashes(spark, tmp_path):
+    """Hostile/truncated WARC bytes must yield zero-or-some rows, never a
+    failed job (same contract as the html splitter)."""
+    from deepseek_ocr_spark.sources.warc import load_documents_warc
+
+    d = tmp_path / "warc_hostile"
+    d.mkdir()
+    cases = [
+        "",                                        # empty file
+        "WARC/1.0\r\n",                            # header only
+        "not a warc at all\njust text",
+        "WARC/1.0\r\nWARC-Type: response\r\n",      # no blank-line separator
+        _warc_record("http://t.example/z", "2024-01-01T00:00:00Z", "<p>ok</p>")
+        + "WARC/1.0\r\ntrunca",                     # valid then truncated
+    ]
+    for i, c in enumerate(cases):
+        (d / f"h{i}.warc").write_text(c, newline="")
+    rows = load_documents_warc(spark, str(d)).collect()
+    # only the one well-formed response should surface
+    assert [r["url"] for r in rows] == ["http://t.example/z"]
