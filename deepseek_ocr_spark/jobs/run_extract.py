@@ -83,8 +83,16 @@ def main(argv: list[str] | None = None) -> int:
         os.path.join(args.output, "layouts")
     )
 
-    n = final.count()
-    pages = final.agg({"n_pages": "sum"}).collect()[0][0] or 0
+    # summary counters from the just-written metrics table — re-aggregating
+    # `final` would replay the dedup window over the whole extracted table
+    # a third time for numbers the metrics sink already holds
+    mrow = (
+        spark.read.parquet(os.path.join(args.output, "metrics"))
+        .agg({"n_docs": "sum", "n_pages": "sum"})
+        .collect()[0]
+    )
+    n = int(mrow["sum(n_docs)"] or 0)
+    pages = int(mrow["sum(n_pages)"] or 0)
     dt = time.time() - t0
     print(f"extracted {n} docs / {pages} pages in {dt:.1f}s ({pages / dt:.1f} pages/s)")
     spark.stop()

@@ -100,3 +100,42 @@ def stream_events_hourly_complete(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_view_click_join(
+    views: DataFrame, clicks: DataFrame, within_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (§2.9 completeness): each 'click' event
+    matched to 'view' events of the same user within the preceding
+    ``within_minutes``. Both sides carry watermarks so the state store can
+    evict rows once no counterpart can arrive — the join condition's time
+    bound plus the watermark define exactly how long each side is retained
+    (Spark derives the state TTL from them; an unbounded-time stream join
+    would grow state forever)."""
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return v.join(c, cond).select(
+        F.col("c_user").alias("user_id"), "view_id", "click_id", "v_ts", "c_ts"
+    )

@@ -194,3 +194,48 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert len(texts) == len(set(texts))  # no duplicate bodies survived
     assert got.count() == docs.select("text").distinct().count()
     assert got.filter(F.col("url").endswith("#dup")).count() == 0  # first wins
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the equivalent batch join (availableNow
+    over a static directory; watermark large enough that nothing drops)."""
+    from deepseek_ocr_spark.streaming.windowed import (
+        EVENTS_SCHEMA,
+        stream_stream_view_click_join,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir, out_dir, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    events.repartition(3).write.parquet(in_dir)
+
+    def stream_src():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+    joined = stream_stream_view_click_join(
+        stream_src(), stream_src(), within_minutes=30, watermark="100 days"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in stream_stream_view_click_join(
+            events, events, within_minutes=30
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
