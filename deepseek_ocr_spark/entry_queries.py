@@ -402,6 +402,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: temporal.asof_join(_events(s, d), _t("orders")(s, d)),
         temporal.ASOF_JOIN_SQL,
     ),
+    "interval_join_views_clicks": (
+        lambda s, d: temporal.interval_join_views_clicks(_events(s, d)),
+        temporal.interval_join_views_clicks_sql(),
+    ),
     "props_json_rollup": (
         lambda s, d: temporal.props_json_rollup(_events(s, d)),
         temporal.PROPS_JSON_ROLLUP_SQL,

@@ -187,3 +187,29 @@ SELECT event_type, count(*) AS n_events,
        count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k
 FROM events GROUP BY event_type
 """
+
+
+def interval_join_views_clicks(events: DataFrame, within_minutes: int = 30) -> DataFrame:
+    """Batch interval join (the streaming variant lives in
+    streaming/windowed.stream_stream_view_click_join): clicks matched to
+    same-user views within the preceding window. Equi-key (user) + time
+    band — Spark executes as a sort-merge join on user with the band as a
+    post-join filter; hot users are the skew risk (AQE skew split covers
+    the SMJ case)."""
+    from deepseek_ocr_spark.streaming.windowed import stream_stream_view_click_join
+
+    return stream_stream_view_click_join(
+        events, events, within_minutes=within_minutes, watermark="100 days"
+    )
+
+
+def interval_join_views_clicks_sql(within_minutes: int = 30) -> str:
+    return f"""
+SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       v.ts AS v_ts, c.ts AS c_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL {within_minutes} MINUTES
+"""
