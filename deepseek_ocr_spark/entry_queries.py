@@ -489,6 +489,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: dedup.dedup_minhash_pairs(_docs(s, d), n_hashes=16, n_bands=4),
         dedup.dedup_minhash_pairs_sql(n_hashes=16, n_bands=4),
     ),
+    # iterative: connected components over the candidate graph
+    "dedup_components": (
+        lambda s, d: dedup.dedup_components(_docs(s, d)),
+        dedup.dedup_components_sql(),
+    ),
     "dedup_minhash_verified": (
         lambda s, d: dedup.dedup_minhash_verified(_docs(s, d)),
         dedup.dedup_minhash_verified_sql(),

@@ -392,3 +392,82 @@ FROM inter i
 JOIN sizes sa ON i.a_doc_id = sa.doc_id
 JOIN sizes sb ON i.b_doc_id = sb.doc_id
 """
+
+
+def dedup_components(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component_id) — connected components over the MinHash-LSH
+    candidate graph via min-label propagation; component_id is the smallest
+    doc_id reachable (the canonical survivor of a near-dup cluster, the
+    step after pairing in every dedup pipeline).
+
+    Execution pattern: ITERATIVE — a driver-side loop over distributed
+    label-propagation rounds (converges in ≤ graph-diameter rounds; near-dup
+    clusters are small and dense, so typically 2-4). Each round is one join
+    + one min-agg; intermediates are persisted and the previous round
+    unpersisted so lineage stays O(1) (at 10^12 scale add periodic
+    localCheckpoint to also truncate the DAG). Convergence is an exact
+    count of changed labels — no fixed iteration guess."""
+    edges = dedup_minhash_pairs(docs, n_hashes, n_bands)
+    sym = edges.select(
+        F.col("a_doc_id").alias("src"), F.col("b_doc_id").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("b_doc_id").alias("src"), F.col("a_doc_id").alias("dst")
+        )
+    ).persist()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component_id").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("n_comp"), F.col("component_id")),
+                ).alias("component_id"),
+                (F.coalesce(F.col("n_comp"), F.col("component_id"))
+                 < F.col("component_id")).alias("_chg"),
+            )
+        ).persist()
+        changed = updated.filter(F.col("_chg")).count()
+        labels.unpersist()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_components_sql(
+    table: str = "documents", n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> str:
+    """Oracle: transitive closure via recursive CTE, then min reachable id
+    (fine at oracle scale; the Spark side never materializes the closure)."""
+    return f"""
+WITH RECURSIVE edges AS ({dedup_minhash_pairs_sql(table, n_hashes, n_bands)}),
+sym AS (
+  SELECT a_doc_id AS src, b_doc_id AS dst FROM edges
+  UNION SELECT b_doc_id, a_doc_id FROM edges
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component_id
+FROM {table} d LEFT JOIN reach r ON d.doc_id = r.src
+GROUP BY d.doc_id
+"""
