@@ -548,6 +548,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: multimodal.decode_image_meta(_docs(s, d)),
         multimodal.DECODE_IMAGE_META_SQL,
     ),
+    "multimodal_resize": (
+        lambda s, d: multimodal.resize_meta(_docs(s, d)),
+        multimodal.resize_meta_sql(),
+    ),
+    "multimodal_features": (
+        lambda s, d: multimodal.extract_features(_docs(s, d)),
+        multimodal.extract_features_sql(),
+    ),
+    "multimodal_frame_sample": (
+        lambda s, d: multimodal.frame_sample(_docs(s, d)),
+        multimodal.frame_sample_sql(),
+    ),
     # full pipeline (rows-only; byte-identity gated in pytest instead) +
     # the oracle-checkable projection of the same pipeline run
     "extract_pipeline": (q_extract_pipeline, None),

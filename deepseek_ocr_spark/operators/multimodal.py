@@ -237,3 +237,153 @@ SELECT doc_id,
        1 + ascii(substr(md5(text), 3, 1)) % 4 AS channels
 FROM documents
 """
+
+
+# --- resize / feature-extract / frame-sample plumbing --------------------------
+#
+# The remaining multimodal op family (task brief: "decode / feature-extract /
+# resize / frame-sample as Pandas UDFs over mapInPandas ... STUB the decode
+# step ... make the Spark-side plumbing — schema, partitioning, UDF
+# signature, batch shape — real and tested"). Each op's pixel work is a
+# deterministic hash/arithmetic stand-in (so every op has an EXACT DuckDB
+# oracle); the mapInPandas batch shapes are the real contract:
+#   resize        : N rows → N rows (per-image metadata transform)
+#   features      : N rows → N rows with an array<double> column (encoder shape)
+#   frame_sample  : N rows → ~N*k rows (1→many fan-out inside one batch)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+    ]
+)
+
+
+def _resize_batches(target: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "src_w", "src_h", "dst_w", "dst_h")}
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _c = _fake_decode(bytes(data))
+                scale = min(1.0, target / max(w, h))
+                rows["doc_id"].append(int(doc_id))
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                # floor(x+0.5): identical rounding in Spark SQL and DuckDB
+                rows["dst_w"].append(int(w * scale + 0.5))
+                rows["dst_h"].append(int(h * scale + 0.5))
+            yield pd.DataFrame(rows)
+
+    return gen
+
+
+def resize_meta(docs: DataFrame, target: int = 96) -> DataFrame:
+    """Aspect-preserving resize plan per image (downscale-only)."""
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_resize_batches(target), RESIZE_SCHEMA)
+
+
+def resize_meta_sql(target: int = 96) -> str:
+    w = "64 + ascii(substr(md5(text), 1, 1)) % 64"
+    h = "64 + ascii(substr(md5(text), 2, 1)) % 64"
+    return f"""
+WITH dims AS (SELECT doc_id, {w} AS w, {h} AS h FROM documents),
+s AS (SELECT doc_id, w, h, least(1.0, {target} / greatest(w, h)) AS sc FROM dims)
+SELECT doc_id, w AS src_w, h AS src_h,
+       CAST(floor(w * sc + 0.5) AS INT) AS dst_w,
+       CAST(floor(h * sc + 0.5) AS INT) AS dst_h
+FROM s
+"""
+
+
+FEATURES_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _feature_batches(dim: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                h = hashlib.md5(bytes(data)).hexdigest()
+                feats.append(
+                    [int(h[2 * j : 2 * j + 2], 16) / 255.0 for j in range(dim)]
+                )
+                ids.append(int(doc_id))
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return gen
+
+
+def extract_features(docs: DataFrame, dim: int = FEATURES_DIM) -> DataFrame:
+    """Per-image feature vector — the encoder-UDF shape (binary in,
+    array<double> out, Arrow-batched; a GPU encoder replaces the hash)."""
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_feature_batches(dim), FEATURES_SCHEMA)
+
+
+def extract_features_sql(dim: int = FEATURES_DIM) -> str:
+    elems = ", ".join(
+        f"CAST(('0x' || substr(md5(text), {2 * j + 1}, 2)) AS INT) / 255.0"
+        for j in range(dim)
+    )
+    return f"SELECT doc_id, [{elems}] AS features FROM documents"
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("frame_hash", T.StringType()),
+    ]
+)
+
+FRAME_STRIDE = 200  # fake "bytes per frame"
+
+
+def _frame_batches(stride: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_ix": [], "frame_hash": []}
+            for doc_id, data in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(data)
+                n_frames = max(1, len(data) // stride)
+                for ix in range(n_frames):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_ix"].append(ix)
+                    rows["frame_hash"].append(
+                        hashlib.md5(data + b":" + str(ix).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return gen
+
+
+def frame_sample(docs: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling plumbing: one 'video' row fans out to its sampled
+    frames INSIDE the Arrow batch (the 1→many mapInPandas shape a real
+    ffmpeg-backed sampler uses); frame count is a deterministic function of
+    payload length so the fan-out is oracle-checkable."""
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_frame_batches(stride), FRAMES_SCHEMA)
+
+
+def frame_sample_sql(stride: int = FRAME_STRIDE) -> str:
+    return f"""
+SELECT doc_id, CAST(ix AS INT) AS frame_ix,
+       md5(text || ':' || CAST(ix AS VARCHAR)) AS frame_hash
+FROM (
+  SELECT doc_id, text,
+         unnest(range(greatest(1, octet_length(encode(text)) // {stride}))) AS ix
+  FROM documents
+)
+"""
