@@ -521,6 +521,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: similarity.ann_lsh_topk(_emb(s, d), n_planes=8),
         similarity.ann_lsh_topk_sql(n_planes=8),
     ),
+    # ANN QUALITY tracked, not just plumbing: recall@k of every ANN variant
+    # vs the brute-force top-k on the same probe
+    "similarity_ann_recall": (
+        lambda s, d: similarity.ann_recall(_emb(s, d)),
+        similarity.ann_recall_sql(),
+    ),
     # text analysis
     "langid_heuristic": (
         lambda s, d: textops.langid_heuristic(_docs(s, d)),

@@ -249,8 +249,11 @@ def simhash(docs: DataFrame) -> DataFrame:
     ZERO-shuffle: the token md5s of one document are a map-side array
     (one md5 walk), and each bit's majority vote is a fold over that array —
     no explode, no groupBy (was: token explode + 16 sum-aggs = a shuffle of
-    every token). Multiset semantics identical to the exploded form."""
-    sp = spread_input(docs)
+    every token). Multiset semantics identical to the exploded form.
+    NULL-text docs are dropped, matching the oracle's explode semantics
+    (a fold over a null array would otherwise emit simhash=0 rows the
+    exploded form never produced)."""
+    sp = spread_input(docs.filter(F.col("text").isNotNull()))
     md5s = F.transform(F.split("text", " "), lambda t: F.md5(t))
     votes = sp.select("doc_id", md5s.alias("_h"))
     vote_cols = [
@@ -408,22 +411,46 @@ def dedup_components(
     Execution pattern: ITERATIVE — a driver-side loop over distributed
     label-propagation rounds (converges in ≤ graph-diameter rounds; near-dup
     clusters are small and dense, so typically 2-4). Each round is one join
-    + one min-agg; intermediates are persisted and the previous round
-    unpersisted so lineage stays O(1) (at 10^12 scale add periodic
-    localCheckpoint to also truncate the DAG). Convergence is an exact
-    count of changed labels — no fixed iteration guess."""
+    + one min-agg; see components_from_edges for the loop contract
+    (exact convergence count, O(1) lineage, loud non-convergence)."""
     edges = dedup_minhash_pairs(docs, n_hashes, n_bands)
-    sym = edges.select(
-        F.col("a_doc_id").alias("src"), F.col("b_doc_id").alias("dst")
-    ).unionByName(
+    return components_from_edges(
+        docs.select("doc_id"),
         edges.select(
-            F.col("b_doc_id").alias("src"), F.col("a_doc_id").alias("dst")
-        )
+            F.col("a_doc_id").alias("src"), F.col("b_doc_id").alias("dst")
+        ),
+        max_iter=max_iter,
+    )
+
+
+# Lineage grows by one join per propagation round; truncate the DAG every
+# few rounds so 10^12-scale chains can't stack-overflow the planner.
+_CHECKPOINT_EVERY = 5
+
+
+def components_from_edges(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(doc_id, component_id) — connected components over an explicit edge
+    list (src, dst) via min-label propagation; the graph primitive behind
+    dedup_components, reusable for any near-dup/link graph.
+
+    Intermediates are persisted and the previous round unpersisted so live
+    storage stays O(1); every _CHECKPOINT_EVERY rounds the labels are
+    localCheckpoint'ed, truncating lineage (the per-round join would
+    otherwise stack a linearly-growing DAG). Convergence is an exact count
+    of changed labels; exhausting ``max_iter`` with changes still pending
+    RAISES — a silently partial labeling is a wrong answer, not a result
+    (a component of diameter > max_iter would quietly split into several
+    survivors)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component_id")).persist()
     labels.count()
-    for _ in range(max_iter):
+    changed = None
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy("src")
@@ -440,13 +467,25 @@ def dedup_components(
                 (F.coalesce(F.col("n_comp"), F.col("component_id"))
                  < F.col("component_id")).alias("_chg"),
             )
-        ).persist()
+        )
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            # localCheckpoint persists on its own (MEMORY_AND_DISK) — do not
+            # stack a second persist on the same plan
+            updated = updated.localCheckpoint(eager=False)
+        else:
+            updated = updated.persist()
         changed = updated.filter(F.col("_chg")).count()
         labels.unpersist()
         labels = updated.drop("_chg")
         if changed == 0:
             break
     sym.unpersist()
+    if changed:
+        raise RuntimeError(
+            f"components_from_edges did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — a component chain "
+            f"is longer than max_iter; raise max_iter"
+        )
     return labels
 
 

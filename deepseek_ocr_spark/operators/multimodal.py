@@ -110,6 +110,12 @@ def _jpeg_meta(data: bytes) -> tuple[str, int, int, int] | None:
     while i + 4 <= n:
         if data[i] != 0xFF:
             return None
+        # legal 0xFF fill-byte padding between segments (JPEG B.1.1.2):
+        # any number of 0xFF bytes may precede a marker code
+        while i + 4 <= n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = data[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
             i += 2

@@ -277,6 +277,33 @@ def ivf_assignments(
     return best.select("vec_id", F.col("b.cid").alias("centroid_id"))
 
 
+def ivf_probe_centroids(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n_probe: int = N_PROBE,
+    n_centroids: int = N_CENTROIDS,
+    dim: int = 64,
+) -> list[int]:
+    """The ``n_probe`` centroid ids nearest the query vector.
+
+    Probe selection touches ONE corpus row (pushed-down vec_id filter) ×
+    n_centroids — a driver-side lookup job, the same weight class as the
+    query-vector fetch in cosine_topk. Uses the identical Spark expressions
+    as the index side (same rounding, same tie-break), so probe choice is
+    bit-for-bit the one the old full-corpus formulation made."""
+    scored = _scored_against_centroids(
+        emb.filter(F.col("vec_id") == query_vec_id), n_centroids, dim
+    )
+    rows = (
+        scored.orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"query vec_id {query_vec_id} not found in embeddings")
+    return [r["centroid_id"] for r in rows]
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -284,21 +311,25 @@ def ann_ivf_topk(
     n_centroids: int = N_CENTROIDS,
     n_probe: int = N_PROBE,
     dim: int = 64,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: scan only the ``n_probe`` centroid buckets nearest the
     query — the inverted-file counterpart to the hyperplane-LSH path; each
-    probe prunes to ~n_probe/n_centroids of the corpus. Probe selection is
-    itself relational (top-n of the query row's centroid scores)."""
-    scored = _scored_against_centroids(emb, n_centroids, dim)
-    probe = (
-        scored.filter(F.col("vec_id") == query_vec_id)
-        .orderBy(F.col("ccos").desc(), F.col("centroid_id"))
-        .limit(n_probe)
-        .select("centroid_id")
-    )
+    probe prunes to ~n_probe/n_centroids of the corpus.
+
+    INDEX/QUERY split: probe centroids come from the query row alone
+    (ivf_probe_centroids — literal ids by the time this plan is built), and
+    the corpus-wide centroid assignment appears exactly ONCE — pass a
+    persisted/materialized ``assignments`` table (the 100 TB deployment:
+    ivf_assignments written partitioned by centroid_id, so the isin filter
+    below becomes partition pruning) or let it be computed inline once.
+    The old formulation recomputed the corpus×centroid cross join twice per
+    query; tests/test_plan_lints.py now pins the single-join shape."""
+    probes = ivf_probe_centroids(emb, query_vec_id, n_probe, n_centroids, dim)
+    if assignments is None:
+        assignments = ivf_assignments(emb, n_centroids, dim)
     cand = (
-        ivf_assignments(emb, n_centroids, dim)
-        .join(F.broadcast(probe), "centroid_id")
+        assignments.filter(F.col("centroid_id").isin(probes))
         .select("vec_id")
     )
     return cosine_topk(
@@ -316,6 +347,59 @@ def _centroids_values_sql(n_centroids: int, dim: int) -> str:
         for cid, vec in _centroids(n_centroids, dim)
     )
     return f"(VALUES {rows}) AS c(centroid_id, cvec)"
+
+
+def ann_recall(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """(method, hits, recall) — recall@k of each ANN variant vs the
+    brute-force cosine top-k on the same probe, so ANN QUALITY (not just
+    plumbing) is oracle-tracked. A recall regression here means the sketch
+    parameters stopped matching the corpus — the thing a 100 TB deployment
+    monitors before trusting a cheaper index.
+
+    Pure SQL-expressible composition of the existing ops: |ANN ∩ brute| / k
+    per method (lsh_16, lsh_256, ivf)."""
+    brute = F.broadcast(
+        cosine_topk(emb, query_vec_id, k).select("vec_id")
+    )
+    variants = [
+        ("ivf", ann_ivf_topk(emb, query_vec_id, k, dim=dim)),
+        ("lsh_16", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=4)),
+        ("lsh_256", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=8)),
+    ]
+    out = None
+    for method, df in variants:
+        hits = (
+            df.select("vec_id")
+            .join(brute, "vec_id", "inner")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(method).alias("method"),
+                "hits",
+                (F.col("hits") / F.lit(float(k))).alias("recall"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+def ann_recall_sql(query_vec_id: int = 0, k: int = 10, dim: int = 64) -> str:
+    def leg(method: str, inner: str) -> str:
+        return f"""
+SELECT '{method}' AS method, count(*) AS hits,
+       count(*) / CAST({k} AS DOUBLE) AS recall
+FROM ({inner}) a JOIN brute USING (vec_id)"""
+
+    return f"""
+WITH brute AS (SELECT vec_id FROM ({cosine_topk_sql(query_vec_id, k)}))
+{leg("ivf", ann_ivf_topk_sql(query_vec_id, k, dim=dim))}
+UNION ALL {leg("lsh_16", ann_lsh_topk_sql(query_vec_id, k, dim, 4))}
+UNION ALL {leg("lsh_256", ann_lsh_topk_sql(query_vec_id, k, dim, 8))}
+"""
 
 
 def ann_ivf_topk_sql(

@@ -109,3 +109,16 @@ def test_sniff_fuzz_jpeg_prefixed(payload):
     # adversarial: valid JPEG SOI then garbage — must parse or reject, never raise
     r = sniff_image_meta(b"\xff\xd8" + payload)
     assert r is None or r[0] == "jpeg"
+
+
+def test_sniff_jpeg_fill_byte_padding():
+    """0xFF fill bytes between segments are legal (JPEG B.1.1.2) and must
+    not abort the walk."""
+    j = make_jpeg(640, 480)
+    assert j[2:4] == b"\xff\xc0"
+    padded = j[:2] + b"\xff\xff\xff" + j[2:]
+    assert sniff_image_meta(padded) == ("jpeg", 640, 480, 1)
+    j2 = make_jpeg(100, 50, orientation=6)
+    sof_at = j2.index(b"\xff\xc0")
+    padded2 = j2[:sof_at] + b"\xff" * 5 + j2[sof_at:]
+    assert sniff_image_meta(padded2) == ("jpeg", 100, 50, 6)

@@ -52,3 +52,13 @@ def test_column_pruning_reaches_scan(spark):
     assert schemas2, "no parquet scan found"
     for s in schemas2:
         assert "source" not in s, f"documents scan reads unused column: {s}"
+
+
+def test_ivf_index_computed_once(spark):
+    """INDEX/QUERY split: the executed plan of ann_ivf_topk must contain
+    exactly ONE corpus×centroid join (probe selection is a driver-side
+    1-row lookup, not a second full-corpus cross join)."""
+    q = QUERIES["similarity_ann_ivf"](spark, SF_DIR)
+    plan = _plan(q)
+    n_cross = plan.count("BroadcastNestedLoopJoin")
+    assert n_cross == 1, f"expected 1 corpus×centroid join, plan has {n_cross}"
