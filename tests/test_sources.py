@@ -135,3 +135,33 @@ def test_warc_hostile_never_crashes(spark, tmp_path):
     rows = load_documents_warc(spark, str(d)).collect()
     # only the one well-formed response should surface
     assert [r["url"] for r in rows] == ["http://t.example/z"]
+
+
+def test_warc_splittable_multi_record(spark, tmp_path):
+    """The record-delimited read must produce >1 input split on a
+    multi-record file (the r2 wholetext reader was one-row-per-file) and
+    still parse every record exactly once — including records that
+    straddle split boundaries."""
+    from deepseek_ocr_spark.sources.warc import load_documents_warc
+
+    warc = "".join(
+        _warc_record(f"http://s.example/{i}", "2024-01-02T03:04:05Z",
+                     f"<html><p>body {i} {'x' * 200}</p></html>")
+        for i in range(200)
+    )
+    d = tmp_path / "warc_split"
+    d.mkdir()
+    (d / "seg.warc").write_text(warc, newline="")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try:
+        df = load_documents_warc(spark, str(d))
+        assert df.rdd.getNumPartitions() > 1, "file did not split"
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(rows) == 200
+    assert {r["url"] for r in rows} == {f"http://s.example/{i}" for i in range(200)}
+    by_url = {r["url"]: bytes(r["html"]).decode() for r in rows}
+    assert by_url["http://s.example/7"].startswith("<html><p>body 7 ")
