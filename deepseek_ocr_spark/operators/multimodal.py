@@ -29,13 +29,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_HAS_CODECS = False  # no PIL/cv2/ffmpeg in this container
+# PNG pixel decode is NATIVE (kernels/pixels.py, pure stdlib zlib); the
+# flag below gates only the formats that need external codecs (JPEG/GIF
+# entropy decode, video) — swap it on a cluster image with PIL/cv2/ffmpeg.
+_HAS_CODECS = False
 
 
 def _real_decode(data: bytes) -> tuple[int, int, int]:
+    """Real pixel decode: PNG via the stdlib kernel; other formats
+    codec-gated (metadata for those still comes from sniff_image_meta)."""
+    from deepseek_ocr_spark.kernels import pixels
+
+    if data[:8] == pixels.PNG_SIG:
+        w, h, c, _buf = pixels.decode_png(data)
+        return w, h, c
     raise NotImplementedError(
-        "real image decode requires PIL/cv2 — not available in this sandbox; "
-        "swap _HAS_CODECS when running on a cluster image with codecs"
+        "non-PNG pixel decode requires PIL/cv2 — not available in this "
+        "sandbox; swap _HAS_CODECS when running on a cluster image with codecs"
     )
 
 

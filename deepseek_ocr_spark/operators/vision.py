@@ -1,0 +1,184 @@
+"""Vision pixel operators — real pixel dataflow over binary image columns.
+
+These are the Spark-side composites of kernels/pixels.py (pure-stdlib PNG
+codec + PIL-parity geometry): Arrow-batched mapInPandas stages, one output
+row per tile/view/region, hostile-payload rule throughout (an undecodable
+payload contributes zero rows — never a task failure; pair with image_meta
+to quarantine).
+
+Reference parity (cited in kernels/pixels.py): the Gundam tile fan-out is
+dynamic_preprocess (image_process.py:44-83) on the tile plan the relational
+``tile_boxes`` query proves against the oracle; the global view is
+ImageOps.pad (image_process.py:386-388); region crops are
+run_dpsk_ocr_image.py:107-108 emitting PNG instead of JPEG (DCT encode is
+the one codec this container cannot check byte-exactly; PNG is lossless so
+the cropped PIXELS are the contract, not an encoder's entropy coding).
+
+Scale notes: each stage is map-only (no shuffle); memory per task is one
+Arrow batch of decoded pages (cap spark.sql.execution.arrow.maxRecordsPerBatch
+when pages are large). The tile fan-out multiplies rows ≤ MAX_CROPS× inside
+the batch — the same 1→many shape as multimodal.frame_sample.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepseek_ocr_spark.config import BASE_SIZE, IMAGE_SIZE, MAX_CROPS, MIN_CROPS
+from deepseek_ocr_spark.kernels import pixels
+from deepseek_ocr_spark.kernels.tiling import tile_plan
+
+GUNDAM_TILES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("img_width", T.IntegerType()),
+        T.StructField("img_height", T.IntegerType()),
+        T.StructField("nw", T.IntegerType()),
+        T.StructField("nh", T.IntegerType()),
+        T.StructField("tile_ix", T.IntegerType()),
+        T.StructField("tile_png", T.BinaryType()),
+    ]
+)
+
+
+def _tile_batches(image_size: int, min_crops: int, max_crops: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "img_width", "img_height", "nw", "nh", "tile_ix", "tile_png"
+            )}
+            for doc_id, data in zip(pdf["doc_id"], pdf["png"]):
+                try:
+                    img = pixels.decode_png(bytes(data))
+                except ValueError:  # hostile-payload rule
+                    continue
+                w, h = img[0], img[1]
+                nw, nh = tile_plan(
+                    w, h, True, image_size, min_crops, max_crops
+                )
+                if nw == 1 and nh == 1:
+                    continue  # small-page bypass: global view only (O-18)
+                for ix, tile in enumerate(
+                    pixels.dynamic_tiles(img, nw, nh, image_size)
+                ):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["img_width"].append(w)
+                    rows["img_height"].append(h)
+                    rows["nw"].append(nw)
+                    rows["nh"].append(nh)
+                    rows["tile_ix"].append(ix)
+                    rows["tile_png"].append(pixels.encode_png(tile))
+            yield pd.DataFrame(rows) if rows["doc_id"] else pd.DataFrame(
+                {k: pd.Series([], dtype=object) for k in rows}
+            )
+
+    return gen
+
+
+def gundam_tiles(
+    images: DataFrame,
+    id_col: str = "doc_id",
+    png_col: str = "png",
+    image_size: int = IMAGE_SIZE,
+    min_crops: int = MIN_CROPS,
+    max_crops: int = MAX_CROPS,
+) -> DataFrame:
+    """(doc_id, png) → one row per Gundam tile with REAL cropped pixel
+    bytes (dynamic_preprocess, image_process.py:44-83). Pages at or under
+    image_size bypass cropping entirely (image_process.py:363-364)."""
+    src = images.select(F.col(id_col).alias("doc_id"), F.col(png_col).alias("png"))
+    return src.mapInPandas(
+        _tile_batches(image_size, min_crops, max_crops), GUNDAM_TILES_SCHEMA
+    )
+
+
+GLOBAL_VIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("img_width", T.IntegerType()),
+        T.StructField("img_height", T.IntegerType()),
+        T.StructField("view_png", T.BinaryType()),
+    ]
+)
+
+
+def _view_batches(base_size: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "img_width", "img_height", "view_png")}
+            for doc_id, data in zip(pdf["doc_id"], pdf["png"]):
+                try:
+                    img = pixels.decode_png(bytes(data))
+                except ValueError:
+                    continue
+                rows["doc_id"].append(int(doc_id))
+                rows["img_width"].append(img[0])
+                rows["img_height"].append(img[1])
+                rows["view_png"].append(
+                    pixels.encode_png(pixels.global_view(img, base_size))
+                )
+            yield pd.DataFrame(rows) if rows["doc_id"] else pd.DataFrame(
+                {k: pd.Series([], dtype=object) for k in rows}
+            )
+
+    return gen
+
+
+def global_views(
+    images: DataFrame,
+    id_col: str = "doc_id",
+    png_col: str = "png",
+    base_size: int = BASE_SIZE,
+) -> DataFrame:
+    """(doc_id, png) → the padded square global view per page
+    (ImageOps.pad, image_process.py:386-388): aspect-preserving contain +
+    centered paste on the normalization-mean gray canvas."""
+    src = images.select(F.col(id_col).alias("doc_id"), F.col(png_col).alias("png"))
+    return src.mapInPandas(_view_batches(base_size), GLOBAL_VIEW_SCHEMA)
+
+
+REGION_CROPS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("region_ix", T.IntegerType()),
+        T.StructField("crop_png", T.BinaryType()),
+    ]
+)
+
+
+def _region_batches():
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "region_ix": [], "crop_png": []}
+            for doc_id, data, rix, x1, y1, x2, y2 in zip(
+                pdf["doc_id"], pdf["png"], pdf["region_ix"],
+                pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
+            ):
+                try:
+                    img = pixels.decode_png(bytes(data))
+                    c = pixels.crop(img, (int(x1), int(y1), int(x2), int(y2)))
+                except ValueError:
+                    continue
+                rows["doc_id"].append(int(doc_id))
+                rows["region_ix"].append(int(rix))
+                rows["crop_png"].append(pixels.encode_png(c))
+            yield pd.DataFrame(rows) if rows["doc_id"] else pd.DataFrame(
+                {k: pd.Series([], dtype=object) for k in rows}
+            )
+
+    return gen
+
+
+def region_crops(regions: DataFrame) -> DataFrame:
+    """(doc_id, png, region_ix, x1, y1, x2, y2) → real cropped region bytes
+    (O-6, run_dpsk_ocr_image.py:107-108; PNG out, see module docstring).
+    Input shape = the pixel boxes pipeline/metrics.py derives joined back
+    onto the page image column."""
+    return regions.select(
+        "doc_id", "png", "region_ix", "x1", "y1", "x2", "y2"
+    ).mapInPandas(_region_batches(), REGION_CROPS_SCHEMA)

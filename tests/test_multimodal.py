@@ -122,3 +122,16 @@ def test_sniff_jpeg_fill_byte_padding():
     sof_at = j2.index(b"\xff\xc0")
     padded2 = j2[:sof_at] + b"\xff" * 5 + j2[sof_at:]
     assert sniff_image_meta(padded2) == ("jpeg", 100, 50, 6)
+
+
+def test_real_decode_png_native(spark):
+    """O-3 pixel decode is real for PNG: the injectable-decoder default
+    path decodes an actual PNG via the stdlib kernel."""
+    from deepseek_ocr_spark.kernels import pixels
+    from deepseek_ocr_spark.operators.multimodal import _real_decode
+    from tests.test_pixels import gradient
+
+    assert _real_decode(pixels.encode_png(gradient(30, 20))) == (30, 20, 3)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        _real_decode(make_jpeg(10, 10))

@@ -1,0 +1,215 @@
+"""Pixel kernel: PNG codec round-trips (every filter type), PIL-parity
+geometry (crop / contain / pad / exif transpose), and the reference's
+composite flows (dynamic_preprocess tiles, padded global view) byte-checked
+against independently-computed expected pixels on synthetic gradients."""
+
+import struct
+import zlib
+
+import pytest
+
+from deepseek_ocr_spark.kernels import pixels
+from deepseek_ocr_spark.kernels.tiling import tile_boxes, tile_plan
+
+
+def gradient(w, h, ch=3):
+    """Deterministic per-pixel pattern — expected values computable at any
+    coordinate without the codec."""
+    buf = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px = [(x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y) % 256,
+                  (x * 11 + y) % 256][:ch]
+            buf += bytes(px)
+    return (w, h, ch, bytes(buf))
+
+
+def px(img, x, y):
+    w, _h, ch, buf = img
+    o = (y * w + x) * ch
+    return tuple(buf[o : o + ch])
+
+
+# --- codec ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_every_filter(filter_type, ch):
+    img = gradient(13, 7, ch)
+    out = pixels.decode_png(pixels.encode_png(img, filter_type=filter_type))
+    assert out == img
+
+
+def test_png_palette_expands_to_rgb():
+    w, h = 4, 2
+    plte = bytes(range(30))  # 10 palette entries
+    idx = bytes([0, 1, 2, 3, 9, 8, 7, 6])
+    raw = b"".join(b"\x00" + idx[y * w : (y + 1) * w] for y in range(h))
+
+    def chunk(t, p):
+        return struct.pack(">I", len(p)) + t + p + struct.pack(
+            ">I", zlib.crc32(t + p) & 0xFFFFFFFF
+        )
+
+    data = (
+        pixels.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = pixels.decode_png(data)
+    assert out[:3] == (w, h, 3)
+    assert px(out, 0, 0) == (0, 1, 2)
+    assert px(out, 0, 1) == tuple(plte[27:30])
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"",
+        b"\x89PNG\r\n\x1a\n",
+        b"not a png at all",
+        pixels.PNG_SIG + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 5,
+        # valid header, corrupt zlib stream
+        pixels.PNG_SIG
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0) + b"\x00" * 4
+        + struct.pack(">I", 4) + b"IDAT" + b"\xde\xad\xbe\xef" + b"\x00" * 4,
+    ],
+)
+def test_png_hostile_raises_valueerror_only(bad):
+    with pytest.raises(ValueError):
+        pixels.decode_png(bad)
+
+
+def test_png_interlaced_rejected():
+    hdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    data = (
+        pixels.PNG_SIG
+        + struct.pack(">I", 13) + b"IHDR" + hdr + b"\x00" * 4
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        pixels.decode_png(data)
+
+
+# --- geometry -------------------------------------------------------------------
+
+
+def test_crop_exact_and_out_of_bounds_zero_fill():
+    img = gradient(10, 6)
+    c = pixels.crop(img, (2, 1, 7, 4))
+    assert c[:3] == (5, 3, 3)
+    for y in range(3):
+        for x in range(5):
+            assert px(c, x, y) == px(img, x + 2, y + 1)
+    o = pixels.crop(img, (8, 4, 12, 8))  # hangs over right/bottom
+    assert o[:3] == (4, 4, 3)
+    assert px(o, 0, 0) == px(img, 8, 4)
+    assert px(o, 3, 3) == (0, 0, 0)  # outside source → zero-filled (PIL parity)
+
+
+def test_resize_nearest_center_sample():
+    img = gradient(4, 4)
+    up = pixels.resize_nearest(img, 8, 8)
+    for y in range(8):
+        for x in range(8):
+            sx = min(3, (2 * x + 1) * 4 // 16)
+            sy = min(3, (2 * y + 1) * 4 // 16)
+            assert px(up, x, y) == px(img, sx, sy)
+    assert pixels.resize_nearest(img, 4, 4) is img
+
+
+@pytest.mark.parametrize(
+    "w,h,tw,th,expected",
+    [
+        (1000, 333, 100, 100, (100, 33)),   # round(33.3) = 33
+        (333, 1000, 100, 100, (33, 100)),
+        (500, 500, 100, 100, (100, 100)),   # same ratio → target
+        (1024, 640, 1024, 1024, (1024, 640)),
+        (640, 1024, 1024, 1024, (640, 1024)),
+        (250, 100, 100, 100, (100, 40)),
+        (1000, 375, 100, 100, (100, 38)),   # round(37.5) = 38 (banker's: even)
+        (1000, 625, 100, 100, (100, 62)),   # round(62.5) = 62 (banker's: even)
+    ],
+)
+def test_contain_size_pil_arithmetic(w, h, tw, th, expected):
+    assert pixels.contain_size(w, h, tw, th) == expected
+
+
+def test_pad_global_view_geometry_and_fill():
+    img = gradient(100, 40)  # wide → contain to (64, 26), centered vertically
+    out = pixels.global_view(img, 64)
+    assert out[:3] == (64, 64, 3)
+    cw, ch = pixels.contain_size(100, 40, 64, 64)
+    assert (cw, ch) == (64, 26)
+    y0 = round((64 - 26) * 0.5)  # PIL centering offset = 19
+    assert y0 == 19
+    fill = (pixels.PAD_FILL,) * 3
+    assert px(out, 0, 0) == fill and px(out, 63, y0 - 1) == fill
+    assert px(out, 0, y0 + 26) == fill and px(out, 63, 63) == fill
+    resized = pixels.resize_nearest(img, cw, ch)
+    for x, y in [(0, 0), (31, 13), (63, 25)]:
+        assert px(out, x, y0 + y) == px(resized, x, y)
+
+
+def test_pad_exact_fit_no_canvas():
+    img = gradient(50, 50)
+    out = pixels.pad(img, (64, 64), (127, 127, 127))
+    assert out == pixels.resize_nearest(img, 64, 64)
+
+
+@pytest.mark.parametrize("orientation", range(1, 9))
+def test_exif_transpose_coordinates(orientation):
+    img = gradient(3, 2)
+    out = pixels.exif_transpose(img, orientation)
+    w, h = 3, 2
+    swap = orientation in (5, 6, 7, 8)
+    assert out[:2] == ((h, w) if swap else (w, h))
+    mapping = {
+        1: lambda x, y: (x, y),
+        2: lambda x, y: (w - 1 - x, y),
+        3: lambda x, y: (w - 1 - x, h - 1 - y),
+        4: lambda x, y: (x, h - 1 - y),
+        5: lambda x, y: (y, x),
+        6: lambda x, y: (h - 1 - y, x),
+        7: lambda x, y: (h - 1 - y, w - 1 - x),
+        8: lambda x, y: (y, w - 1 - x),
+    }[orientation]
+    for y in range(h):
+        for x in range(w):
+            assert px(out, *mapping(x, y)) == px(img, x, y)
+
+
+def test_exif_transpose_involutions():
+    img = gradient(5, 3)
+    for o in (2, 3, 4):
+        assert pixels.exif_transpose(pixels.exif_transpose(img, o), o) == img
+    # rot90 then rot270 = identity
+    assert pixels.exif_transpose(pixels.exif_transpose(img, 6), 8) == img
+
+
+# --- reference composite flows ----------------------------------------------------
+
+
+def test_dynamic_tiles_match_grid_and_pixels():
+    """Tile pixels must equal the resized image sampled through the
+    row-major tile grid — expected values computed from the gradient
+    formula, independent of crop()."""
+    sz = 32
+    img = gradient(130, 60)
+    nw, nh = tile_plan(130, 60, True, image_size=sz)
+    assert (nw, nh) > (1, 1) or nw * nh > 1
+    tiles = pixels.dynamic_tiles(img, nw, nh, sz)
+    assert len(tiles) == nw * nh
+    boxes = tile_boxes(nw, nh, sz)
+    dw, dh = nw * sz, nh * sz
+    for (x1, y1, _x2, _y2), tile in zip(boxes, tiles):
+        assert tile[:3] == (sz, sz, 3)
+        for tx, ty in [(0, 0), (sz // 2, sz // 3), (sz - 1, sz - 1)]:
+            sx = min(129, (2 * (x1 + tx) + 1) * 130 // (2 * dw))
+            sy = min(59, (2 * (y1 + ty) + 1) * 60 // (2 * dh))
+            expected = ((sx * 7 + sy * 13) % 256, (sx * 3 + sy * 5) % 256,
+                        (sx + sy) % 256)
+            assert px(tile, tx, ty) == expected

@@ -1,0 +1,81 @@
+"""Spark vision operators: real pixel bytes flowing through Arrow-batched
+mapInPandas stages — Gundam tile fan-out (with small-page bypass), padded
+global views, region crops — plus the hostile-payload drop rule."""
+
+import pytest
+
+from deepseek_ocr_spark.kernels import pixels
+from deepseek_ocr_spark.kernels.tiling import tile_plan
+from deepseek_ocr_spark.operators.vision import (
+    global_views,
+    gundam_tiles,
+    region_crops,
+)
+from tests.test_pixels import gradient, px
+
+SZ = 64  # small tile size → tiny fixtures, same code paths as 640
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    rows = [
+        (1, pixels.encode_png(gradient(130, 70))),   # > SZ → crop path
+        (2, pixels.encode_png(gradient(60, 60))),    # ≤ SZ → bypass (O-18)
+        (3, b"\x89PNG but hostile garbage"),         # undecodable → dropped
+        (4, pixels.encode_png(gradient(70, 140))),   # tall crop path
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, png BINARY")
+
+
+def test_gundam_tiles_spark(spark, images_df):
+    out = gundam_tiles(images_df, image_size=SZ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # bypass and hostile rows contribute zero tiles
+    assert set(by_doc) == {1, 4}
+    nw, nh = tile_plan(130, 70, True, image_size=SZ)
+    assert len(by_doc[1]) == nw * nh
+    r0 = sorted(by_doc[1], key=lambda r: r["tile_ix"])[0]
+    assert (r0["nw"], r0["nh"]) == (nw, nh)
+    assert (r0["img_width"], r0["img_height"]) == (130, 70)
+    # tile bytes are a real PNG of the expected crop
+    tile = pixels.decode_png(bytes(r0["tile_png"]))
+    expected = pixels.dynamic_tiles(
+        pixels.decode_png(bytes(images_df.filter("doc_id=1").head()["png"])),
+        nw, nh, SZ,
+    )[0]
+    assert tile == expected
+
+
+def test_global_views_spark(spark, images_df):
+    out = {r["doc_id"]: r for r in global_views(images_df, base_size=SZ).collect()}
+    assert set(out) == {1, 2, 4}  # hostile row dropped
+    v = pixels.decode_png(bytes(out[1]["view_png"]))
+    assert v[:2] == (SZ, SZ)
+    assert v == pixels.global_view(gradient(130, 70), SZ)
+    assert px(v, 0, 0) == (pixels.PAD_FILL,) * 3
+
+
+def test_region_crops_spark(spark):
+    img = gradient(50, 40)
+    df = spark.createDataFrame(
+        [
+            (7, pixels.encode_png(img), 0, 5, 5, 25, 30),
+            (7, pixels.encode_png(img), 1, 0, 0, 10, 10),
+            (8, b"junk", 0, 0, 0, 5, 5),  # hostile → dropped
+        ],
+        "doc_id LONG, png BINARY, region_ix INT, x1 INT, y1 INT, x2 INT, y2 INT",
+    )
+    out = {(r["doc_id"], r["region_ix"]): r for r in region_crops(df).collect()}
+    assert set(out) == {(7, 0), (7, 1)}
+    c = pixels.decode_png(bytes(out[(7, 0)]["crop_png"]))
+    assert c == pixels.crop(img, (5, 5, 25, 30))
+    assert px(c, 0, 0) == px(img, 5, 5)
+
+
+def test_vision_plans_are_arrow_batched(spark, images_df):
+    plan = gundam_tiles(images_df, image_size=SZ)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
