@@ -7,7 +7,8 @@ Usage:
         [--mode pdf|eval|image] [--resume] [--n-docs 2000]
 
 Without --input, generates the synthetic corpus (--n-docs) in-session.
-Writes extracted/ + _manifest/ (checkpoint) + metrics/ + lineage/ under
+Writes extracted/ + _manifest/ (checkpoint) + metrics/ + lineage/ +
+layouts/ + layouts_doc/ (per-doc assembled artifact) under
 --output; with --resume, already-manifested urls are anti-joined away.
 """
 
@@ -45,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
         metrics_table,
         region_images_table,
     )
-    from deepseek_ocr_spark.pipeline.layouts import layouts_table
+    from deepseek_ocr_spark.pipeline.layouts import layouts_doc, layouts_table
     from deepseek_ocr_spark.pipeline.session import build_session
 
     spark = build_session(app_name="run-extract")
@@ -81,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     layouts_table(final).write.mode("overwrite").parquet(
         os.path.join(args.output, "layouts")
+    )
+    layouts_doc(final).write.mode("overwrite").parquet(
+        os.path.join(args.output, "layouts_doc")
     )
 
     # summary counters from the just-written metrics table — re-aggregating

@@ -56,16 +56,10 @@ def span_svg_elem() -> F.Column:
     )
 
 
-def layouts_table(extracted: DataFrame) -> DataFrame:
-    """extracted → layouts(url, page_no, svg binary, n_boxes).
-
-    Pages with zero spans still get a (valid, empty) canvas — the reference
-    emits every page into _layouts.pdf whether or not boxes were parsed.
-
-    Caveat (debug tier): spans are keyed by page_no only, so a document with
-    DUPLICATE page_no values gets each duplicate's canvas annotated with the
-    merged span set of that page_no (the extraction text path handles
-    duplicates exactly via the seq tiebreak; the layout sink does not try)."""
+def _page_bodies(extracted: DataFrame) -> DataFrame:
+    """(url, page_no, width, height, body, n_boxes) — each page's SVG inner
+    elements (ord-sorted rect+label fragments; empty string for zero-span
+    pages). Shared by the per-page sink and the per-doc assembly."""
     pages = extracted.select("url", F.explode("page_dims").alias("pd")).select(
         "url",
         F.col("pd.page_no").alias("page_no"),
@@ -85,19 +79,95 @@ def layouts_table(extracted: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_boxes"),
         )
     )
-    joined = pages.join(elems, ["url", "page_no"], "left")
     body = F.concat_ws(
         "", F.coalesce(F.transform("oes", lambda x: x["e"]), F.array())
     )
+    return pages.join(elems, ["url", "page_no"], "left").select(
+        "url",
+        "page_no",
+        "width",
+        "height",
+        body.alias("body"),
+        F.coalesce("n_boxes", F.lit(0)).alias("n_boxes"),
+    )
+
+
+def layouts_table(extracted: DataFrame) -> DataFrame:
+    """extracted → layouts(url, page_no, svg binary, n_boxes).
+
+    Pages with zero spans still get a (valid, empty) canvas — the reference
+    emits every page into _layouts.pdf whether or not boxes were parsed.
+
+    Caveat (debug tier): spans are keyed by page_no only, so a document with
+    DUPLICATE page_no values gets each duplicate's canvas annotated with the
+    merged span set of that page_no (the extraction text path handles
+    duplicates exactly via the seq tiebreak; the layout sink does not try)."""
+    pb = _page_bodies(extracted)
     svg = F.concat(
         F.format_string(SVG_HEADER, F.col("width"), F.col("height"),
                         F.col("width"), F.col("height")),
-        body,
+        F.col("body"),
         F.lit("</svg>"),
     )
-    return joined.select(
+    return pb.select(
         "url",
         "page_no",
         F.encode(svg, "UTF-8").alias("svg"),
-        F.coalesce("n_boxes", F.lit(0)).alias("n_boxes"),
+        "n_boxes",
+    )
+
+
+# one assembled page inside the per-doc artifact: a nested <svg> viewport at
+# the page's cumulative y offset (the SVG analog of one img2pdf page)
+PAGE_FMT = '<svg x="0" y="%d" width="%d" height="%d" viewBox="0 0 %d %d">%s</svg>'
+
+
+def layouts_doc(extracted: DataFrame) -> DataFrame:
+    """Per-DOC assembled layout artifact (url, svg binary, n_pages,
+    n_boxes): every page's annotated canvas stacked vertically in page
+    order inside one SVG — the analog of the reference's single
+    ``_layouts.pdf`` assembled from per-page images via img2pdf
+    (run_dpsk_ocr_pdf.py:97-119), keyed per url (one artifact per document,
+    the per-url unit every other sink uses).
+
+    Canvas = (max page width) × (sum of page heights); offsets are an
+    ordered fold over the page array (pure Catalyst — one url shuffle, no
+    Python). Duplicate page_no pages sort deterministically by
+    (page_no, width, height, body)."""
+    pb = _page_bodies(extracted)
+    pages = pb.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(F.struct("page_no", "width", "height", "body"))
+        ).alias("ps"),
+        F.sum("n_boxes").cast("int").alias("n_boxes"),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("y"), F.lit("").alias("s")
+    )
+    folded = F.aggregate(
+        "ps",
+        acc0,
+        lambda acc, p: F.struct(
+            (acc["y"] + p["height"]).cast("bigint").alias("y"),
+            F.concat(
+                acc["s"],
+                F.format_string(
+                    PAGE_FMT,
+                    acc["y"], p["width"], p["height"],
+                    p["width"], p["height"], p["body"],
+                ),
+            ).alias("s"),
+        ),
+    )
+    max_w = F.array_max(F.transform("ps", lambda p: p["width"]))
+    svg = F.concat(
+        F.format_string(SVG_HEADER, max_w, folded["y"], max_w, folded["y"]),
+        folded["s"],
+        F.lit("</svg>"),
+    )
+    return pages.select(
+        "url",
+        F.encode(svg, "UTF-8").alias("svg"),
+        F.size("ps").alias("n_pages"),
+        "n_boxes",
     )

@@ -172,3 +172,43 @@ def test_paged_variant_byte_identity(spark, docs_df):
     for u in oracle:
         assert got[u]["text"] == oracle[u]["text"], u
         assert got[u]["n_vision_tokens"] == oracle[u]["n_vision_tokens"], u
+
+
+def test_layouts_doc_assembly(spark, docs_df):
+    """O-7 completion: the per-DOC assembled artifact (reference
+    pdf.py:97-119 builds one _layouts.pdf per run from the page images)
+    stacks every page's canvas vertically in page order — byte-checked
+    against a test-side reconstruction from the oracle's spans + dims."""
+    from deepseek_ocr_spark.pipeline.layouts import layouts_doc
+
+    got = {
+        r["url"]: (bytes(r["svg"]), r["n_pages"], r["n_boxes"])
+        for r in layouts_doc(extract_documents(docs_df)).collect()
+    }
+    oracle = run_oracle(gen_documents(60))
+    assert set(got) == {r["url"] for r in oracle}
+    for r in oracle:
+        pages = []
+        for pd in r["page_dims"]:
+            spans = [s for s in r["spans"] if s["page_no"] == pd["page_no"]]
+            full = _expected_svg(pd["width"], pd["height"], spans).decode()
+            hdr_end = full.index(">") + 1
+            body = full[hdr_end : -len("</svg>")]
+            pages.append((pd["page_no"], pd["width"], pd["height"], body))
+        pages.sort()
+        max_w = max(p[1] for p in pages)
+        tot_h = sum(p[2] for p in pages)
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 {max_w} {tot_h}" '
+            f'width="{max_w}" height="{tot_h}">'
+        ]
+        y = 0
+        for _pn, w, h, body in pages:
+            parts.append(
+                f'<svg x="0" y="{y}" width="{w}" height="{h}" '
+                f'viewBox="0 0 {w} {h}">{body}</svg>'
+            )
+            y += h
+        parts.append("</svg>")
+        want = "".join(parts).encode()
+        assert got[r["url"]] == (want, len(pages), len(r["spans"])), r["url"]
