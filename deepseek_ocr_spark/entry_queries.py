@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from deepseek_ocr_spark.kernels.tokens import grid_side
 from deepseek_ocr_spark.config import BASE_SIZE, IMAGE_SIZE
 from deepseek_ocr_spark.operators import (
+    corpus_stats,
     dedup,
     multimodal,
     ngram_window,
@@ -498,6 +499,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: dedup.dedup_minhash_verified(_docs(s, d)),
         dedup.dedup_minhash_verified_sql(),
     ),
+    # the steady-state daily-increment job: new batch probed against the
+    # existing corpus's band table — no corpus self-pairing
+    "dedup_incremental": (
+        lambda s, d: dedup.dedup_incremental(_docs(s, d)),
+        dedup.dedup_incremental_sql(),
+    ),
     "dedup_embedding_cosine": (
         lambda s, d: similarity.embedding_near_dup(_emb(s, d)),
         similarity.embedding_near_dup_sql(),
@@ -543,6 +550,26 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint": (
         lambda s, d: textops.doc_fingerprint(_docs(s, d)),
         textops.doc_fingerprint_sql(),
+    ),
+    # corpus statistics: oracle-tracked HLL sketch quality, tf-idf term
+    # ranking, inverted-index build
+    # low-cardinality column → exercises the small-range linear-counting
+    # branch of the estimator
+    "hll_distinct_sources": (
+        lambda s, d: corpus_stats.hll_distinct(_docs(s, d), col="source"),
+        corpus_stats.hll_distinct_sql(col="source"),
+    ),
+    "hll_distinct_texts": (
+        lambda s, d: corpus_stats.hll_distinct(_docs(s, d), col="text"),
+        corpus_stats.hll_distinct_sql(col="text"),
+    ),
+    "tfidf_top_terms": (
+        lambda s, d: corpus_stats.tfidf_top_terms(_docs(s, d)),
+        corpus_stats.tfidf_top_terms_sql(),
+    ),
+    "inverted_index": (
+        lambda s, d: corpus_stats.inverted_index(_docs(s, d)),
+        corpus_stats.inverted_index_sql(),
     ),
     # O-28 relational analog: sliding-window duplicate n-gram detector
     "ngram_repeat_flags": (

@@ -1,0 +1,220 @@
+"""Corpus statistics operators — the sketch/index layer of a training-data
+pipeline: cardinality estimation, term weighting, and inverted-index build.
+
+All three are EXACTLY oracle-checkable (the sketch hash is md5, identical
+hex in Spark and DuckDB; float outputs are single-expression computations
+rounded to 4 decimals so both engines agree bit-for-bit on the repr):
+
+- ``hll_distinct``     — a deterministic HyperLogLog over md5: 256 registers,
+  rho capped at 32 (keeps the harmonic sum EXACT in float64 — every term is
+  a power of two ≥ 2^-32, so summation order cannot round), small-range
+  linear-counting correction, and the relative error vs the exact count in
+  the same row. Like similarity.ann_recall, the sketch's QUALITY is what
+  the oracle tracks, not just its plumbing. At 100 TB the register table is
+  the shuffle (256 rows after map-side partial max) — this is THE way to
+  count distinct urls across a 10^12-row corpus in one pass.
+- ``tfidf_top_terms``  — tf×idf term ranking per source: one token explode,
+  two aggregations, a row_number window; idf = ln((N+1)/(df+1)).
+- ``inverted_index``   — token → sorted posting list (doc ids), the search
+  /dedup index-build shape; postings arrays compare exactly cross-engine.
+
+Scale notes: hll_distinct is map-side-combinable (max per register) — one
+256-row shuffle regardless of corpus size. tfidf/inverted_index shuffle on
+token (cardinality ~ vocabulary, the classic inverted-index build); a df
+floor keeps posting lists bounded (stopword-like tokens dominate, and a
+100 TB deployment would also cap postings per token — here the corpus is
+driver-scale and the floor is the demonstrated knob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HLL_BUCKETS = 256  # 2^8 registers — first 2 md5 hex chars
+RHO_CAP = 32
+# standard HLL bias constant for m >= 128
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_BUCKETS)
+
+
+def hll_distinct(docs: DataFrame, col: str = "url") -> DataFrame:
+    """One row: (m, n_exact, hll_estimate, rel_err) — deterministic-HLL
+    distinct count of ``col`` with its exact-count ground truth."""
+    h = docs.select(F.md5(F.col(col)).alias("h")).select(
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.substring("h", 3, 30).alias("rest"),
+    )
+    stripped = F.expr("trim(LEADING '0' FROM rest)")
+    fd = F.substring(stripped, 1, 1)
+    clz4 = (
+        F.when(fd == "1", 3)
+        .when(fd.isin("2", "3"), 2)
+        .when(fd.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.least(
+        F.lit(RHO_CAP),
+        (F.length("rest") - F.length(stripped)) * 4 + clz4 + 1,
+    )
+    regs = h.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    m = HLL_BUCKETS
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
+        F.count(F.lit(1)).alias("present"),
+    )
+    exact = docs.agg(F.countDistinct(F.col(col)).alias("n_exact"))
+    joined = agg.crossJoin(F.broadcast(exact))
+    zeros = F.lit(m) - F.col("present")
+    denom = F.col("s") + zeros.cast("double")
+    e_raw = F.lit(HLL_ALPHA * m * m) / denom
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    est_r = F.round(est, 4)
+    return joined.select(
+        F.lit(m).alias("m"),
+        F.col("n_exact"),
+        est_r.alias("hll_estimate"),
+        F.round(
+            F.abs(est_r - F.col("n_exact").cast("double")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
+def hll_distinct_sql(table: str = "documents", col: str = "url") -> str:
+    m = HLL_BUCKETS
+    return f"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5({col}), 1, 2)) AS INT) AS bucket,
+         substr(md5({col}), 3, 30) AS rest
+  FROM {table}
+),
+r AS (
+  SELECT bucket,
+         least({RHO_CAP},
+               (length(rest) - length(ltrim(rest, '0'))) * 4
+               + CASE substr(ltrim(rest, '0'), 1, 1)
+                   WHEN '1' THEN 3
+                   WHEN '2' THEN 2 WHEN '3' THEN 2
+                   WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                   ELSE 0 END
+               + 1) AS rho
+  FROM h
+),
+regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY bucket),
+agg AS (
+  SELECT sum(power(2.0, -m_j)) AS s, count(*) AS present FROM regs
+),
+exact AS (SELECT count(DISTINCT {col}) AS n_exact FROM {table}),
+est AS (
+  SELECT
+    CASE WHEN ({HLL_ALPHA * m * m!r} / (s + CAST({m} - present AS DOUBLE)))
+              <= {2.5 * m}
+          AND ({m} - present) > 0
+         THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - present AS DOUBLE))
+         ELSE {HLL_ALPHA * m * m!r} / (s + CAST({m} - present AS DOUBLE))
+    END AS e,
+    n_exact
+  FROM agg, exact
+)
+SELECT {m} AS m, n_exact, round(e, 4) AS hll_estimate,
+       round(abs(round(e, 4) - CAST(n_exact AS DOUBLE)) / n_exact, 4) AS rel_err
+FROM est
+"""
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(source, token, tf, score, rank) — top-k tf×idf terms per source;
+    idf = ln((N+1)/(df+1)) with N = distinct sources. Ranking uses the
+    ROUNDED score (deterministic cross-engine order), token as tiebreak."""
+    toks = _tokens(docs)
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("source", "token").distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nsrc = docs.agg(F.countDistinct("source").alias("n_src"))
+    scored = tf.join(df_, "token").crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("n_src") + 1).cast("double") / (F.col("df") + 1)),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM {table}
+),
+t AS (SELECT source, token FROM toks WHERE token != ''),
+tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY source, token),
+df AS (SELECT token, count(DISTINCT source) AS df FROM t GROUP BY token),
+n AS (SELECT count(DISTINCT source) AS n_src FROM {table}),
+scored AS (
+  SELECT tf.source, tf.token, tf.tf,
+         round(tf.tf * ln(CAST(n.n_src + 1 AS DOUBLE) / (df.df + 1)), 4) AS score
+  FROM tf JOIN df USING (token), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT source, token, tf, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def inverted_index(docs: DataFrame, min_df: int = 3) -> DataFrame:
+    """(token, df, postings) — sorted doc_id posting list per token with at
+    least ``min_df`` distinct docs (the floor keeps the demo output small;
+    a production build also caps postings per stopword-like token)."""
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def inverted_index_sql(table: str = "documents", min_df: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {table}
+  ) WHERE token != ''
+)
+SELECT token, count(*) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM toks GROUP BY token HAVING count(*) >= {min_df}
+"""

@@ -397,6 +397,74 @@ JOIN sizes sb ON i.b_doc_id = sb.doc_id
 """
 
 
+def dedup_incremental(
+    docs: DataFrame,
+    mod: int = 10,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(doc_id, already_seen) — the DAILY-INCREMENT shape: a new crawl
+    batch (here simulated as doc_id % mod == 0) checked against the
+    existing corpus via MinHash-LSH band collision, WITHOUT re-pairing the
+    corpus against itself. At 100 TB this is the steady-state dedup job:
+    the corpus side is a pre-materialized band table (bucketed by band),
+    the increment is small, and the probe is a semi-join — no O(corpus²)
+    anywhere, no all-pairs even within the increment.
+
+    Docs too short to shingle have no bands and are never ``already_seen``
+    (both engines agree: no rows → LEFT join miss)."""
+    inc = docs.filter(F.col("doc_id") % mod == 0)
+    base = docs.filter(F.col("doc_id") % mod != 0)
+
+    def _bands(d: DataFrame) -> DataFrame:
+        sig = minhash_signatures(d, n_hashes, n_bands)
+        return sig.select(
+            "doc_id",
+            F.explode(F.array(*[f"band{b}" for b in range(n_bands)])).alias("band"),
+        )
+
+    seen = (
+        _bands(inc)
+        .join(_bands(base).select("band").distinct(), "band", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    return inc.select("doc_id").join(seen, "doc_id", "left").select(
+        "doc_id", F.coalesce("_seen", F.lit(False)).alias("already_seen")
+    )
+
+
+def dedup_incremental_sql(
+    table: str = "documents",
+    mod: int = 10,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+) -> str:
+    inc_t = f"(SELECT * FROM {table} WHERE doc_id % {mod} = 0)"
+    base_t = f"(SELECT * FROM {table} WHERE doc_id % {mod} != 0)"
+    band_union_inc = "\n  UNION ALL ".join(
+        f"SELECT doc_id, band{b} AS band FROM isig" for b in range(n_bands)
+    )
+    band_union_base = "\n  UNION ALL ".join(
+        f"SELECT band{b} AS band FROM bsig" for b in range(n_bands)
+    )
+    return f"""
+WITH isig AS ({minhash_sql(inc_t, n_hashes, n_bands)}),
+bsig AS ({minhash_sql(base_t, n_hashes, n_bands)}),
+ib AS (
+  {band_union_inc}
+),
+bb AS (
+  {band_union_base}
+),
+seen AS (SELECT DISTINCT ib.doc_id FROM ib JOIN bb ON ib.band = bb.band)
+SELECT d.doc_id, (seen.doc_id IS NOT NULL) AS already_seen
+FROM (SELECT doc_id FROM {table} WHERE doc_id % {mod} = 0) d
+LEFT JOIN seen ON d.doc_id = seen.doc_id
+"""
+
+
 def dedup_components(
     docs: DataFrame,
     n_hashes: int = N_MINHASHES,
