@@ -99,6 +99,12 @@ def main() -> None:
         "salted_hot_key_join",
         "corpus_clean",
         "daily_active_users",
+        # round 3 additions: sketch/index layer + increment job + ANN quality
+        "hll_distinct_texts",
+        "tfidf_top_terms",
+        "inverted_index",
+        "dedup_incremental",
+        "similarity_ann_recall",
     ]
     reg = registry()
     for name in bench_queries:
