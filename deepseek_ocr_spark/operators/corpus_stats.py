@@ -139,13 +139,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     ROUNDED score (deterministic cross-engine order), token as tiebreak."""
     toks = _tokens(docs)
     tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        toks.select("source", "token").distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df = count over a token window on the ALREADY-AGGREGATED tf (one row
+    # per (source, token)): no second pass over the raw token stream, no
+    # self-join — tf rows per token IS the document frequency
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("token"))
     nsrc = docs.agg(F.countDistinct("source").alias("n_src"))
-    scored = tf.join(df_, "token").crossJoin(F.broadcast(nsrc)).select(
+    scored = tf.withColumn("df", df_w).crossJoin(F.broadcast(nsrc)).select(
         "source",
         "token",
         "tf",
@@ -171,12 +170,14 @@ WITH toks AS (
 ),
 t AS (SELECT source, token FROM toks WHERE token != ''),
 tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY source, token),
-df AS (SELECT token, count(DISTINCT source) AS df FROM t GROUP BY token),
+tfd AS (
+  SELECT source, token, tf, count(*) OVER (PARTITION BY token) AS df FROM tf
+),
 n AS (SELECT count(DISTINCT source) AS n_src FROM {table}),
 scored AS (
-  SELECT tf.source, tf.token, tf.tf,
-         round(tf.tf * ln(CAST(n.n_src + 1 AS DOUBLE) / (df.df + 1)), 4) AS score
-  FROM tf JOIN df USING (token), n
+  SELECT tfd.source, tfd.token, tfd.tf,
+         round(tfd.tf * ln(CAST(n.n_src + 1 AS DOUBLE) / (tfd.df + 1)), 4) AS score
+  FROM tfd, n
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY source
@@ -192,17 +193,16 @@ def inverted_index(docs: DataFrame, min_df: int = 3) -> DataFrame:
     """(token, df, postings) — sorted doc_id posting list per token with at
     least ``min_df`` distinct docs (the floor keeps the demo output small;
     a production build also caps postings per stopword-like token)."""
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .distinct()
-    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    # collect_set dedups inside the single token shuffle (df = postings
+    # size) — a separate distinct pass would be a second full shuffle of
+    # every (doc, token) pair
     return (
         toks.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_sort(F.collect_set("doc_id")).alias("postings"),
-        )
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
+        .select("token", F.size("postings").cast("bigint").alias("df"), "postings")
         .filter(F.col("df") >= min_df)
     )
 
@@ -210,11 +210,14 @@ def inverted_index(docs: DataFrame, min_df: int = 3) -> DataFrame:
 def inverted_index_sql(table: str = "documents", min_df: int = 3) -> str:
     return f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, token FROM (
+  SELECT doc_id, token FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {table}
   ) WHERE token != ''
+),
+idx AS (
+  SELECT token, list_sort(list(DISTINCT doc_id)) AS postings
+  FROM toks GROUP BY token
 )
-SELECT token, count(*) AS df,
-       list_sort(list(doc_id)) AS postings
-FROM toks GROUP BY token HAVING count(*) >= {min_df}
+SELECT token, CAST(len(postings) AS BIGINT) AS df, postings
+FROM idx WHERE len(postings) >= {min_df}
 """
