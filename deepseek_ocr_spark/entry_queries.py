@@ -28,6 +28,8 @@ from deepseek_ocr_spark.operators import (
 )
 from deepseek_ocr_spark.operators.tiling_relational import (
     tile_plan_sql,
+    token_splice_segments,
+    token_splice_segments_sql,
     vision_tokens_col,
     with_tile_plan,
 )
@@ -304,6 +306,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "vision_tokens": (q_vision_tokens, Q_VISION_TOKENS_SQL),
     "token_layout": (q_token_layout, Q_TOKEN_LAYOUT_SQL),
     "tile_boxes": (q_tile_boxes, Q_TILE_BOXES_SQL),
+    # O-16: the exact image-token splice layout as an ordered segment table
+    "token_splice_segments": (
+        lambda s, d: token_splice_segments(
+            with_tile_plan(_dims_df(s, d), ["doc_id"]), ["doc_id"]
+        ),
+        token_splice_segments_sql(_DIMS_SQL, ["doc_id"]),
+    ),
     "deterministic_sample": (
         lambda s, d: textops.deterministic_sample(_docs(s, d)),
         textops.DETERMINISTIC_SAMPLE_SQL,

@@ -148,3 +148,93 @@ SELECT {keys}, {width_expr} AS width, {height_expr} AS height,
             THEN 1 ELSE j END AS nh
 FROM ranked WHERE rn = 1
 """
+
+
+def token_splice_segments(
+    planned: DataFrame,
+    key_cols: list[str],
+    base_size: int = BASE_SIZE,
+    image_size: int = IMAGE_SIZE,
+) -> DataFrame:
+    """O-16 (image-token splice) as an ORDERED relational segment table.
+
+    Reproduces the exact token-sequence layout tokenize_with_images builds
+    per image (reference image_process.py:424-436): nqb repetitions of
+    (nqb global-grid tokens + 1 newline token), then 1 view-separator
+    token, then — tiled pages only — nq*nh repetitions of (nq*nw local
+    tokens + 1 newline). Every one of these positions is image_token_id in
+    the reference; the KIND column records which embedding row the decoder
+    fill assigns there. (Reference quirk, deepseek_ocr.py:438: the feature
+    FILL order is local-before-global even though the token LAYOUT is
+    global-before-local — position semantics follow the layout, which is
+    what this table models.)
+
+    seg_ix arithmetic instead of an ordered explode: segment kind and
+    length are CASE expressions of seg_ix, so both engines emit identical
+    rows without order-sensitive generation. sum(n_tokens) per page ==
+    vision_tokens_col by construction (pinned in tests).
+    """
+    hg = grid_side(base_size)
+    h2 = grid_side(image_size)
+    nw, nh = F.col("nw"), F.col("nh")
+    tiled = (nw > 1) | (nh > 1)
+    n_segs = F.lit(2 * hg + 1) + F.when(tiled, 2 * h2 * nh).otherwise(F.lit(0))
+    segs = planned.select(
+        *key_cols, "nw",
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_ix"),
+    )
+    s = F.col("seg_ix")
+    local_s = s - F.lit(2 * hg + 1)
+    kind = (
+        F.when(s < 2 * hg, F.when(s % 2 == 0, "global_row").otherwise("newline"))
+        .when(s == 2 * hg, "view_sep")
+        .otherwise(F.when(local_s % 2 == 0, "local_row").otherwise("newline"))
+    )
+    n_tokens = (
+        F.when(s < 2 * hg, F.when(s % 2 == 0, F.lit(hg)).otherwise(F.lit(1)))
+        .when(s == 2 * hg, F.lit(1))
+        .otherwise(
+            F.when(local_s % 2 == 0, F.col("nw") * h2).otherwise(F.lit(1))
+        )
+    )
+    return segs.select(
+        *key_cols,
+        F.col("seg_ix").cast("int").alias("seg_ix"),
+        kind.alias("kind"),
+        n_tokens.cast("int").alias("n_tokens"),
+    )
+
+
+def token_splice_segments_sql(
+    pages_sql: str,
+    key_cols: list[str],
+    base_size: int = BASE_SIZE,
+    image_size: int = IMAGE_SIZE,
+) -> str:
+    hg = grid_side(base_size)
+    h2 = grid_side(image_size)
+    keys = ", ".join(key_cols)
+    return f"""
+WITH planned AS ({tile_plan_sql(pages_sql, key_cols, image_size=image_size)}),
+segs AS (
+  SELECT {keys}, nw,
+         unnest(range({2 * hg + 1}
+                      + CASE WHEN nw > 1 OR nh > 1
+                             THEN {2 * h2} * nh ELSE 0 END)) AS seg_ix
+  FROM planned
+)
+SELECT {keys}, CAST(seg_ix AS INT) AS seg_ix,
+       CASE WHEN seg_ix < {2 * hg} THEN
+              CASE WHEN seg_ix % 2 = 0 THEN 'global_row' ELSE 'newline' END
+            WHEN seg_ix = {2 * hg} THEN 'view_sep'
+            ELSE CASE WHEN (seg_ix - {2 * hg + 1}) % 2 = 0
+                      THEN 'local_row' ELSE 'newline' END
+       END AS kind,
+       CAST(CASE WHEN seg_ix < {2 * hg} THEN
+              CASE WHEN seg_ix % 2 = 0 THEN {hg} ELSE 1 END
+            WHEN seg_ix = {2 * hg} THEN 1
+            ELSE CASE WHEN (seg_ix - {2 * hg + 1}) % 2 = 0
+                      THEN nw * {h2} ELSE 1 END
+       END AS INT) AS n_tokens
+FROM segs
+"""

@@ -111,3 +111,41 @@ def test_tile_boxes_query_matches_kernel(spark):
         nw, nh = tile_plan(w, h)
         want = [(i, *b) for i, b in enumerate(tile_boxes(nw, nh))]
         assert sorted(boxes) == want, doc_id
+
+
+def test_token_splice_sums_to_vision_tokens(spark):
+    """The ordered segment table (O-16) must account for every vision token:
+    sum(n_tokens) per page == the O-13 formula, for bypass and tiled pages."""
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.operators.tiling_relational import (
+        token_splice_segments,
+        vision_tokens_col,
+        with_tile_plan,
+    )
+
+    pages = spark.createDataFrame(
+        [(1, 620, 620), (2, 1300, 700), (3, 700, 2500), (4, 641, 641)],
+        "doc_id LONG, width INT, height INT",
+    )
+    planned = with_tile_plan(pages, ["doc_id"])
+    want = {
+        r["doc_id"]: r["vt"]
+        for r in planned.select(
+            "doc_id", vision_tokens_col(F.col("nw"), F.col("nh")).alias("vt")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["s"]
+        for r in token_splice_segments(planned, ["doc_id"])
+        .groupBy("doc_id").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert got == want
+    # bypass page: global rows + newlines + view_sep only
+    segs = token_splice_segments(planned, ["doc_id"]).filter("doc_id = 1").collect()
+    kinds = [r["kind"] for r in sorted(segs, key=lambda r: r["seg_ix"])]
+    assert kinds[-1] == "view_sep" and "local_row" not in kinds
+    # tiled page: layout order is global rows, view_sep, local rows
+    segs2 = token_splice_segments(planned, ["doc_id"]).filter("doc_id = 2").collect()
+    kinds2 = [r["kind"] for r in sorted(segs2, key=lambda r: r["seg_ix"])]
+    assert kinds2.index("view_sep") == kinds2.index("local_row") - 1
