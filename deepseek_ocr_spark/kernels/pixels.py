@@ -380,6 +380,31 @@ def dynamic_tiles(img: Image, nw: int, nh: int, image_size: int) -> list[Image]:
     return tiles
 
 
+def to_tensor_normalized(
+    img: Image,
+    mean: tuple[float, ...] = (0.5, 0.5, 0.5),
+    std: tuple[float, ...] = (0.5, 0.5, 0.5),
+) -> list[list[list[float]]]:
+    """ImageTransform analog (image_process.py:93-107, O-15): ToTensor
+    (uint8 → float in [0,1], CHW layout) + Normalize((x - mean) / std).
+    Exact arithmetic: x/255 is correctly-rounded IEEE division and the
+    mean/std ops are single IEEE ops, so values are bit-reproducible —
+    the deterministic contract a distributed engine needs from its
+    preprocessing (same bytes → same floats on every executor)."""
+    w, h, ch, buf = img
+    if len(mean) != ch or len(std) != ch:
+        raise ValueError(f"mean/std arity != channels {ch}")
+    out = []
+    for c in range(ch):
+        m, sd = mean[c], std[c]
+        plane = [
+            [(buf[(y * w + x) * ch + c] / 255.0 - m) / sd for x in range(w)]
+            for y in range(h)
+        ]
+        out.append(plane)
+    return out
+
+
 # global-view fill = tuple(int(mean*255)) with mean 0.5 (image_process.py:387)
 PAD_FILL = 127
 

@@ -213,3 +213,20 @@ def test_dynamic_tiles_match_grid_and_pixels():
             expected = ((sx * 7 + sy * 13) % 256, (sx * 3 + sy * 5) % 256,
                         (sx + sy) % 256)
             assert px(tile, tx, ty) == expected
+
+
+def test_to_tensor_normalized():
+    """O-15: ToTensor+Normalize analog — CHW layout, exact (x/255 - m)/s."""
+    img = gradient(3, 2)
+    t = pixels.to_tensor_normalized(img)
+    assert len(t) == 3 and len(t[0]) == 2 and len(t[0][0]) == 3
+    for y in range(2):
+        for x in range(3):
+            r, g, b = px(img, x, y)
+            assert t[0][y][x] == (r / 255.0 - 0.5) / 0.5
+            assert t[1][y][x] == (g / 255.0 - 0.5) / 0.5
+            assert t[2][y][x] == (b / 255.0 - 0.5) / 0.5
+    # value range check: uint8 0 → -1.0, 255 → 1.0 exactly
+    solid = pixels.new_image(1, 1, 3, (0, 255, 128))
+    ts = pixels.to_tensor_normalized(solid)
+    assert ts[0][0][0] == -1.0 and ts[1][0][0] == 1.0
