@@ -230,3 +230,29 @@ def test_to_tensor_normalized():
     solid = pixels.new_image(1, 1, 3, (0, 255, 128))
     ts = pixels.to_tensor_normalized(solid)
     assert ts[0][0][0] == -1.0 and ts[1][0][0] == 1.0
+
+
+def test_png_roundtrip_hypothesis():
+    """Property: any small random image round-trips through every filter."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        ft=st.integers(0, 4),
+        data=st.data(),
+    )
+    def prop(w, h, ch, ft, data):
+        buf = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+                )
+            )
+        )
+        img = (w, h, ch, buf)
+        assert pixels.decode_png(pixels.encode_png(img, filter_type=ft)) == img
+
+    prop()

@@ -79,3 +79,21 @@ def test_vision_plans_are_arrow_batched(spark, images_df):
     ).executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
+
+
+def test_gundam_tiles_real_config_size(spark):
+    """The real Gundam config (IMAGE_SIZE=640): a 1300x700 page plans to a
+    multi-tile grid and every tile decodes to 640x640 with the expected
+    corner pixels."""
+    img = gradient(1300, 700)
+    df = spark.createDataFrame(
+        [(1, pixels.encode_png(img))], "doc_id LONG, png BINARY"
+    )
+    rows = sorted(gundam_tiles(df).collect(), key=lambda r: r["tile_ix"])
+    nw, nh = tile_plan(1300, 700, True)
+    assert len(rows) == nw * nh and nw * nh >= 2
+    expected = pixels.dynamic_tiles(img, nw, nh, 640)
+    first = pixels.decode_png(bytes(rows[0]["tile_png"]))
+    last = pixels.decode_png(bytes(rows[-1]["tile_png"]))
+    assert first[:3] == (640, 640, 3) and first == expected[0]
+    assert last == expected[-1]
