@@ -1,0 +1,97 @@
+"""spark-submit entry point for the TRAINING-DATA pipeline (the op families
+beyond extraction): dedup → clean → sketch/index, one job.
+
+Usage:
+    spark-submit --py-files deepseek_ocr_spark.zip \
+        deepseek_ocr_spark/jobs/run_corpus_pipeline.py \
+        --input /path/to/documents.parquet --output /path/to/out \
+        [--min-quality 0.5] [--with-components]
+
+Writes under --output:
+    clean/       corpus_clean survivors (dedup → language gate → quality gate)
+    components/  near-dup connected components over the MinHash-LSH graph
+                 (--with-components; iterative, off by default)
+    stats/       one-row corpus stats: exact + HLL distinct texts with the
+                 sketch's relative error, doc/kept counts
+    index/tfidf/     top tf-idf terms per source
+    index/postings/  inverted index (token → sorted doc_id posting list)
+
+Plan shape: clean is ONE shuffle (see textops.corpus_clean); stats is a
+256-row register shuffle; each index build is one token-key shuffle. The
+stages share the input scan but are otherwise independent sinks — on a
+cluster they run as separate jobs off one cached upstream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="driver testdata dir used when --input is omitted")
+    ap.add_argument("--with-components", action="store_true",
+                    help="also run iterative connected components")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.operators import corpus_stats, dedup, textops
+    from deepseek_ocr_spark.pipeline.session import build_session
+
+    spark = build_session(app_name="run-corpus-pipeline")
+    t0 = time.time()
+
+    # expects the documents-table shape (doc_id, text, lang, source, n_chars)
+    docs = spark.read.parquet(
+        args.input if args.input else f"{args.sf_dir}/documents.parquet"
+    )
+    docs = docs.persist()
+    n_in = docs.count()
+
+    clean = textops.corpus_clean(docs, min_quality=args.min_quality)
+    clean.write.mode("overwrite").parquet(os.path.join(args.output, "clean"))
+
+    if args.with_components:
+        dedup.dedup_components(docs).write.mode("overwrite").parquet(
+            os.path.join(args.output, "components")
+        )
+
+    hll = corpus_stats.hll_distinct(docs, col="text").withColumn(
+        "n_docs", F.lit(n_in)
+    )
+    hll.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
+
+    corpus_stats.tfidf_top_terms(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "index", "tfidf")
+    )
+    corpus_stats.inverted_index(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "index", "postings")
+    )
+
+    n_clean = spark.read.parquet(os.path.join(args.output, "clean")).count()
+    stats = spark.read.parquet(os.path.join(args.output, "stats")).head()
+    dt = time.time() - t0
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_clean": n_clean,
+        "distinct_exact": int(stats["n_exact"]),
+        "distinct_hll": float(stats["hll_estimate"]),
+        "hll_rel_err": float(stats["rel_err"]),
+        "sec": round(dt, 1),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

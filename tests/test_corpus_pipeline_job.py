@@ -1,0 +1,36 @@
+"""The corpus-pipeline spark-submit entry: end-to-end in a subprocess
+(own session, as spark-submit would run it) — all sinks written, summary
+JSON line sane, clean output matches the registry's corpus_clean."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_run_corpus_pipeline_job(spark, tmp_path):
+    out = str(tmp_path / "cp")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "-m", "deepseek_ocr_spark.jobs.run_corpus_pipeline",
+         "--output", out, "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["docs_in"] > 0
+    assert 0 < summary["docs_clean"] <= summary["docs_in"]
+    assert summary["hll_rel_err"] < 0.1
+
+    for sink in ("clean", "stats", "index/tfidf", "index/postings"):
+        df = spark.read.parquet(os.path.join(out, sink))
+        assert df.count() > 0, sink
+
+    # clean sink == the oracle-checked corpus_clean over the same input
+    from deepseek_ocr_spark.operators import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {r["doc_id"] for r in textops.corpus_clean(docs).collect()}
+    got = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "clean")).collect()}
+    assert got == want
