@@ -363,6 +363,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         lambda s, d: textops.median_chars_by_lang(_docs(s, d)),
         textops.MEDIAN_CHARS_SQL,
     ),
+    "quantiles_by_lang": (
+        lambda s, d: textops.quantiles_by_lang(_docs(s, d)),
+        textops.QUANTILES_BY_LANG_SQL,
+    ),
     "lang_source_pivot": (
         lambda s, d: textops.lang_source_pivot(_docs(s, d)),
         textops.LANG_SOURCE_PIVOT_SQL,

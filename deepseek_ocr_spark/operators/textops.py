@@ -764,3 +764,47 @@ SELECT doc_id, lang, source FROM documents
 WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)) % 100
       < CASE WHEN lang = 'en' THEN {en_pct} ELSE {other_pct} END
 """
+
+
+def quantiles_by_lang(docs: DataFrame) -> DataFrame:
+    """(lang, p50/p90/p99 of n_chars) — the exact rank-against-count
+    formulation generalized from median_chars_by_lang to a quantile SET in
+    ONE ranked pass (percentile_disc semantics: rank ceil(q*n), computed
+    with integer arithmetic so both engines pick the identical row).
+    Same scale note as the median: exact-on-samples verifier for the
+    approx_percentile sketch that serves 10^12-row queries."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n"),
+    )
+
+    def rank_of(q_num: int, q_den: int):
+        # ceil(q*n) in exact integer arithmetic
+        return F.floor((F.lit(q_num) * F.col("_n") + q_den - 1) / q_den)
+
+    def pick(q_num: int, q_den: int, name: str):
+        return F.max(
+            F.when(F.col("_rn") == rank_of(q_num, q_den), F.col("n_chars"))
+        ).alias(name)
+
+    return ranked.groupBy("lang").agg(
+        pick(1, 2, "p50_chars"), pick(9, 10, "p90_chars"), pick(99, 100, "p99_chars")
+    )
+
+
+QUANTILES_BY_LANG_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS _rn,
+         count(*) OVER (PARTITION BY lang) AS _n
+  FROM documents
+)
+SELECT lang,
+       max(CASE WHEN _rn = (1 * _n + 1) // 2 THEN n_chars END) AS p50_chars,
+       max(CASE WHEN _rn = (9 * _n + 9) // 10 THEN n_chars END) AS p90_chars,
+       max(CASE WHEN _rn = (99 * _n + 99) // 100 THEN n_chars END) AS p99_chars
+FROM ranked GROUP BY lang
+"""
