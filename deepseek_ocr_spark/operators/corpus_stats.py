@@ -37,9 +37,11 @@ RHO_CAP = 32
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_BUCKETS)
 
 
-def hll_distinct(docs: DataFrame, col: str = "url") -> DataFrame:
-    """One row: (m, n_exact, hll_estimate, rel_err) — deterministic-HLL
-    distinct count of ``col`` with its exact-count ground truth."""
+def hll_registers(docs: DataFrame, col: str) -> DataFrame:
+    """(bucket, m_j) — the HLL register table. Works unchanged on a
+    STREAMING DataFrame (update mode): max is associative/commutative, so
+    this is exactly 256 rows of incremental state — see
+    streaming/hll_stream.py."""
     h = docs.select(F.md5(F.col(col)).alias("h")).select(
         F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
         F.substring("h", 3, 30).alias("rest"),
@@ -56,9 +58,17 @@ def hll_distinct(docs: DataFrame, col: str = "url") -> DataFrame:
         F.lit(RHO_CAP),
         (F.length("rest") - F.length(stripped)) * 4 + clz4 + 1,
     )
-    regs = h.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
-        F.max("rho").alias("m_j")
+    return (
+        h.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
     )
+
+
+def hll_distinct(docs: DataFrame, col: str = "url") -> DataFrame:
+    """One row: (m, n_exact, hll_estimate, rel_err) — deterministic-HLL
+    distinct count of ``col`` with its exact-count ground truth."""
+    regs = hll_registers(docs, col)
     m = HLL_BUCKETS
     agg = regs.agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),

@@ -239,3 +239,42 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Mergeable-sketch property live: the streaming HLL register table
+    (256 rows of state, micro-batches folded by max) equals the batch
+    register table over the same corpus — hence identical estimates."""
+    from deepseek_ocr_spark.operators.corpus_stats import hll_registers
+    from deepseek_ocr_spark.streaming.hll_stream import hll_registers_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    in_dir, ck = (str(tmp_path / d) for d in ("in", "ck"))
+    # split across files → multiple micro-batches fold into state
+    docs.repartition(4).write.parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        hll_registers_stream(src, col="text")
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["bucket"]: r["m_j"]
+        for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    want = {
+        r["bucket"]: r["m_j"] for r in hll_registers(docs, "text").collect()
+    }
+    assert got == want
+    assert len(got) <= 256
