@@ -41,16 +41,32 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
-    """Brute-force cosine top-k vs the embedding of ``query_vec_id``.
-
-    Returns (vec_id, cos) — the query vector itself excluded, ties broken by
-    vec_id for determinism.
-    """
+def _fetch_embedding(emb: DataFrame, query_vec_id: int) -> list[float]:
+    """One pushed-down 1-row lookup job; float32 → Python float is exact,
+    so downstream double arithmetic is bit-identical to reading the row
+    in-plan. ANN entry points fetch ONCE and share the vector across probe
+    selection and final scoring (was: one lookup job per stage)."""
     qrow = emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()
     if qrow is None:
         raise ValueError(f"query vec_id {query_vec_id} not found in embeddings")
-    q = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    return [float(v) for v in qrow["embedding"]]
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    query_vec: list[float] | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k vs the embedding of ``query_vec_id``.
+
+    Returns (vec_id, cos) — the query vector itself excluded, ties broken by
+    vec_id for determinism. Pass ``query_vec`` (from _fetch_embedding) to
+    skip the lookup job when the caller already holds the vector.
+    """
+    if query_vec is None:
+        query_vec = _fetch_embedding(emb, query_vec_id)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
     e = F.col("embedding")
     cos = _dot(e, q) / (_norm(e) * _norm(q))
     return (
@@ -174,26 +190,34 @@ def ann_lsh_topk(
     k: int = 10,
     dim: int = 64,
     n_planes: int = N_HYPERPLANES,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """ANN: restrict the cosine scan to the query's LSH bucket (the scale
     path — each probe reads one bucket partition instead of the corpus).
     The candidate id set (one bucket, << corpus) is broadcast onto the
     embedding scan — the hint is always right because a bucket that doesn't
     fit in a broadcast means the bucketing itself failed."""
+    qvec = query_vec if query_vec is not None else _fetch_embedding(emb, query_vec_id)
+    # the query's bucket driver-side: identical left-to-right fold and a
+    # SIGN test (no rounding anywhere), so it is bit-for-bit the value the
+    # in-plan expression computes — one lookup job instead of three
+    qb = 0
+    for p in range(n_planes):
+        proj = 0.0
+        for i, x in enumerate(qvec[:dim]):
+            proj = proj + x * _plane_coef(p, i)
+        if proj >= 0:
+            qb += 1 << p
     buckets = lsh_buckets(emb, dim, n_planes)
-    qrow = buckets.filter(F.col("vec_id") == query_vec_id).head()
-    if qrow is None:
-        raise ValueError(f"query vec_id {query_vec_id} not found in embeddings")
-    qb = qrow["bucket"]
     cands = buckets.filter((F.col("bucket") == qb) & (F.col("vec_id") != query_vec_id))
-    scored = cosine_topk(
+    return cosine_topk(
         emb.join(F.broadcast(cands.select("vec_id")), "vec_id", "inner").unionByName(
             emb.filter(F.col("vec_id") == query_vec_id)
         ),
         query_vec_id,
         k,
+        query_vec=qvec,
     )
-    return scored
 
 
 def ann_lsh_topk_sql(
@@ -283,17 +307,24 @@ def ivf_probe_centroids(
     n_probe: int = N_PROBE,
     n_centroids: int = N_CENTROIDS,
     dim: int = 64,
+    query_vec: list[float] | None = None,
 ) -> list[int]:
     """The ``n_probe`` centroid ids nearest the query vector.
 
-    Probe selection touches ONE corpus row (pushed-down vec_id filter) ×
-    n_centroids — a driver-side lookup job, the same weight class as the
-    query-vector fetch in cosine_topk. Uses the identical Spark expressions
-    as the index side (same rounding, same tie-break), so probe choice is
-    bit-for-bit the one the old full-corpus formulation made."""
-    scored = _scored_against_centroids(
-        emb.filter(F.col("vec_id") == query_vec_id), n_centroids, dim
-    )
+    With ``query_vec`` supplied, probe scoring runs over a LOCAL 1-row
+    frame — no table scan at all; otherwise one pushed-down 1-row lookup.
+    Either way the scoring uses the identical Spark EXPRESSIONS as the
+    index side (same round(…,6), same tie-break), so probe choice is
+    bit-for-bit the one the old full-corpus formulation made — driver-side
+    Python rounding would not carry that guarantee."""
+    if query_vec is None:
+        src = emb.filter(F.col("vec_id") == query_vec_id)
+    else:
+        src = emb.sparkSession.createDataFrame(
+            [(query_vec_id, [float(v) for v in query_vec])],
+            "vec_id INT, embedding ARRAY<DOUBLE>",
+        )
+    scored = _scored_against_centroids(src, n_centroids, dim)
     rows = (
         scored.orderBy(F.col("ccos").desc(), F.col("centroid_id"))
         .limit(n_probe)
@@ -312,6 +343,7 @@ def ann_ivf_topk(
     n_probe: int = N_PROBE,
     dim: int = 64,
     assignments: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVF ANN: scan only the ``n_probe`` centroid buckets nearest the
     query — the inverted-file counterpart to the hyperplane-LSH path; each
@@ -325,7 +357,10 @@ def ann_ivf_topk(
     below becomes partition pruning) or let it be computed inline once.
     The old formulation recomputed the corpus×centroid cross join twice per
     query; tests/test_plan_lints.py now pins the single-join shape."""
-    probes = ivf_probe_centroids(emb, query_vec_id, n_probe, n_centroids, dim)
+    qvec = query_vec if query_vec is not None else _fetch_embedding(emb, query_vec_id)
+    probes = ivf_probe_centroids(
+        emb, query_vec_id, n_probe, n_centroids, dim, query_vec=qvec
+    )
     if assignments is None:
         assignments = ivf_assignments(emb, n_centroids, dim)
     cand = (
@@ -338,6 +373,7 @@ def ann_ivf_topk(
         .dropDuplicates(["vec_id"]),
         query_vec_id,
         k,
+        query_vec=qvec,
     )
 
 
@@ -363,13 +399,16 @@ def ann_recall(
 
     Pure SQL-expressible composition of the existing ops: |ANN ∩ brute| / k
     per method (lsh_16, lsh_256, ivf)."""
+    qvec = _fetch_embedding(emb, query_vec_id)  # ONE lookup shared by all legs
     brute = F.broadcast(
-        cosine_topk(emb, query_vec_id, k).select("vec_id")
+        cosine_topk(emb, query_vec_id, k, query_vec=qvec).select("vec_id")
     )
     variants = [
-        ("ivf", ann_ivf_topk(emb, query_vec_id, k, dim=dim)),
-        ("lsh_16", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=4)),
-        ("lsh_256", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=8)),
+        ("ivf", ann_ivf_topk(emb, query_vec_id, k, dim=dim, query_vec=qvec)),
+        ("lsh_16", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=4,
+                                query_vec=qvec)),
+        ("lsh_256", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=8,
+                                 query_vec=qvec)),
     ]
     out = None
     for method, df in variants:
