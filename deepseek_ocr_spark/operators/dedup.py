@@ -189,24 +189,43 @@ def dedup_minhash_pairs(
     10^12 candidate pairs from a single key. Buckets larger than the cap
     are excluded from pairing ENTIRELY (deterministic — their members are
     trivially findable by exact dedup anyway, which is why the composition
-    runs dedup_exact first). None = exact/uncapped."""
+    runs dedup_exact first). None = exact/uncapped.
+
+    Plan shape (round 3): pairs are enumerated WITHIN each band bucket
+    (groupBy band → sorted id set → ordered combinations) instead of a
+    band self-join — the signature pipeline runs ONCE and each (doc, band)
+    row crosses the network once, where the self-join recomputed the
+    signatures for both inputs (observed: 2 scans, no exchange reuse).
+    Per-bucket pair memory is O(bucket²) inside one row, which is exactly
+    what ``max_bucket`` bounds — at corpus scale ALWAYS set the cap (the
+    uncapped path exists for small-corpus exactness; a viral cluster is
+    catastrophic under either formulation, 10^12 shuffle rows vs one fat
+    row, and the cap is the answer to both). The DuckDB oracle keeps the
+    self-join formulation on purpose: two independent derivations of the
+    same pair set cross-check each other."""
     n_bands_cols = [f"band{b}" for b in range(n_bands)]
     sig = minhash_signatures(docs, n_hashes, n_bands)
     bands = sig.select(
         "doc_id", F.explode(F.array(*n_bands_cols)).alias("band")
     )
+    buckets = bands.groupBy("band").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ids")
+    )
     if max_bucket is not None:
-        sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
-        bands = (
-            bands.join(sizes, "band")
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_doc_id"), F.col("b.doc_id").alias("b_doc_id"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id"))
         .distinct()
     )
 
