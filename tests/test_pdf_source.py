@@ -1,0 +1,85 @@
+"""PDF text-layer source: kernel round-trips (Flate + raw, escapes, hex
+strings, multi-page), a hand-written raw PDF literal (independent of the
+fixture writer), hostile payloads, and the Spark per-page fan-out."""
+
+import zlib
+
+import pytest
+
+from deepseek_ocr_spark.kernels.pdftext import extract_pdf_text, make_simple_pdf
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_pdf_roundtrip_multipage(compress):
+    pages = ["Hello world", "Second page\nwith two lines", ""]
+    out = extract_pdf_text(make_simple_pdf(pages, compress=compress))
+    assert out == pages
+
+
+def test_pdf_escapes_roundtrip():
+    pages = ["parens () and \\ backslash", "tab\tand (nested (deep)) text"]
+    got = extract_pdf_text(make_simple_pdf(pages))
+    assert got[0] == pages[0]
+    assert got[1] == pages[1]
+
+
+def test_pdf_handwritten_raw_literal():
+    """A PDF written by hand in the test (not by make_simple_pdf), with an
+    uncompressed stream, a TJ array, a hex string, and an octal escape —
+    the parser must not depend on the fixture writer's conventions."""
+    content = b"BT (A\\101) Tj [(B) (C)] TJ <4445> Tj T* (next) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["AABCDE\nnext"]
+
+
+def test_pdf_hostile_never_raises():
+    for payload in [
+        b"", b"%PDF-1.4", b"not a pdf", b"\x00" * 100,
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 9 0 R >>\nendobj\n",
+        # Flate-marked stream with corrupt zlib data
+        b"%PDF\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Filter /FlateDecode >>\nstream\n\xde\xad\nendstream\nendobj\n",
+        make_simple_pdf(["x"])[:80],  # truncated
+    ]:
+        out = extract_pdf_text(payload)
+        assert isinstance(out, list)
+
+
+def test_pdf_flate_actually_compressed():
+    raw = make_simple_pdf(["compressed page"], compress=True)
+    assert b"/FlateDecode" in raw and b"compressed page" not in raw
+    assert extract_pdf_text(raw) == ["compressed page"]
+    assert zlib  # imported for clarity: the only codec involved is stdlib
+
+
+def test_pdf_pages_spark(spark, tmp_path):
+    from deepseek_ocr_spark.sources.pdf import load_documents_pdf, pdf_pages
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(make_simple_pdf(["doc a page 1", "doc a page 2"]))
+    (d / "b.pdf").write_bytes(make_simple_pdf(["doc b only page"]))
+    (d / "junk.pdf").write_bytes(b"hostile not-a-pdf payload")
+
+    docs = load_documents_pdf(spark, str(d))
+    rows = {r["url"].rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert set(rows) == {"a.pdf", "b.pdf", "junk.pdf"}
+    assert rows["a.pdf"]["text"] == "doc a page 1\n\ndoc a page 2"
+    assert rows["b.pdf"]["text"] == "doc b only page"
+    assert rows["junk.pdf"]["text"] == ""  # routing signal for the OCR path
+
+    raw = spark.createDataFrame(
+        [("a", make_simple_pdf(["p0", "p1", "p2"]))], "url STRING, pdf BINARY"
+    )
+    got = sorted((r["page_no"], r["text"]) for r in pdf_pages(raw).collect())
+    assert got == [(0, "p0"), (1, "p1"), (2, "p2")]
+    plan = pdf_pages(raw)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" in plan
