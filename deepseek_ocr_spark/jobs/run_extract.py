@@ -23,6 +23,10 @@ import time
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None)
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc", "jsonl", "pdf", "dir"],
+                    help="how to read --input (all loaders emit the same "
+                    "input_hint document shape)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", default="pdf", choices=["pdf", "eval", "image"])
     ap.add_argument("--resume", action="store_true")
@@ -53,7 +57,24 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
 
     if args.input:
-        docs = spark.read.parquet(args.input)
+        if args.input_format == "parquet":
+            docs = spark.read.parquet(args.input)
+        elif args.input_format == "warc":
+            from deepseek_ocr_spark.sources.warc import load_documents_warc
+
+            docs = load_documents_warc(spark, args.input)
+        elif args.input_format == "jsonl":
+            from deepseek_ocr_spark.sources.warc import load_documents_jsonl
+
+            docs = load_documents_jsonl(spark, args.input).drop("_corrupt_record")
+        elif args.input_format == "pdf":
+            from deepseek_ocr_spark.sources.pdf import load_documents_pdf
+
+            docs = load_documents_pdf(spark, args.input)
+        else:
+            from deepseek_ocr_spark.sources.catalog import load_documents_dir
+
+            docs = load_documents_dir(spark, args.input)
     else:
         from deepseek_ocr_spark.datagen.synth import gen_documents
 

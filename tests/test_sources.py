@@ -165,3 +165,35 @@ def test_warc_splittable_multi_record(spark, tmp_path):
     assert {r["url"] for r in rows} == {f"http://s.example/{i}" for i in range(200)}
     by_url = {r["url"]: bytes(r["html"]).decode() for r in rows}
     assert by_url["http://s.example/7"].startswith("<html><p>body 7 ")
+
+
+def test_run_extract_from_warc_dir(spark, tmp_path):
+    """The flagship job ingests a WARC drop directly (--input-format warc):
+    end-to-end through extraction, all sinks written."""
+    import os
+    import subprocess
+    import sys
+
+    from deepseek_ocr_spark.datagen.synth import driver_row_to_html
+
+    html = driver_row_to_html(7, "warc ingestion body text for the job")
+    warc = _warc_record("http://w.example/j1", "2024-03-04T05:06:07Z",
+                        html.decode("utf-8"))
+    d = tmp_path / "warc_job_in"
+    d.mkdir()
+    (d / "seg.warc").write_text(warc, newline="")
+    out = str(tmp_path / "out")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "-m", "deepseek_ocr_spark.jobs.run_extract",
+         "--input", str(d), "--input-format", "warc", "--output", out],
+        capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(f"{out}/extracted")
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["url"] == "http://w.example/j1"
+    assert "Warc Ingestion Body Text" in rows[0]["text"]
+    assert "<--- Page Split --->" in rows[0]["text"]
