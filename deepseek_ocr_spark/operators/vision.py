@@ -18,6 +18,13 @@ Scale notes: each stage is map-only (no shuffle); memory per task is one
 Arrow batch of decoded pages (cap spark.sql.execution.arrow.maxRecordsPerBatch
 when pages are large). The tile fan-out multiplies rows ≤ MAX_CROPS× inside
 the batch — the same 1→many shape as multimodal.frame_sample.
+
+Throughput note: the stdlib codec (kernels/pixels.py) is the
+zero-dependency sandbox path; per-image decode cost is pure CPU and
+embarrassingly parallel, and a production image swaps a native codec
+(PIL/libjpeg-turbo) into the SAME mapInPandas contract — the plan shape,
+schemas, and tests are codec-agnostic (the injectable-decoder pattern
+multimodal.decode_image_meta already demonstrates).
 """
 
 from __future__ import annotations
