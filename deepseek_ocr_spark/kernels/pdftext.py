@@ -30,6 +30,42 @@ _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+
+
+def _ordered_page_nums(objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in DISPLAY order: DFS over the /Pages /Kids
+    tree (object numbering is arbitrary after edits/merges — /Kids order
+    is the document order). Pages unreachable from any tree (or documents
+    with no /Pages node at all) fall back to object-number order."""
+    page_nums = {n for n, b in objs.items() if _PAGE_RE.search(b)}
+    pages_nodes = {n for n, b in objs.items() if _PAGES_RE.search(b)}
+    kids_of: dict[int, list[int]] = {}
+    referenced: set[int] = set()
+    for n in pages_nodes:
+        m = _KIDS_RE.search(objs[n])
+        kids = [int(k.group(1)) for k in _REF_RE.finditer(m.group(1))] if m else []
+        kids_of[n] = kids
+        referenced.update(k for k in kids if k in pages_nodes)
+    order: list[int] = []
+    seen: set[int] = set()
+
+    def dfs(n: int) -> None:
+        if n in seen:
+            return
+        seen.add(n)
+        if n in page_nums:
+            order.append(n)
+        for k in kids_of.get(n, []):
+            dfs(k)
+
+    for root in sorted(pages_nodes - referenced):
+        dfs(root)
+    for n in sorted(page_nums):
+        if n not in seen:
+            order.append(n)
+    return order
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
@@ -159,10 +195,8 @@ def extract_pdf_text(data: bytes) -> list[str]:
     try:
         objs = _objects(data)
         pages = []
-        for num in sorted(objs):
+        for num in _ordered_page_nums(objs):
             body = objs[num]
-            if not _PAGE_RE.search(body):
-                continue
             texts = []
             for ref in _content_refs(body):
                 stream = _stream_of(objs.get(ref, b""))

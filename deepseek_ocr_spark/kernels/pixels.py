@@ -367,17 +367,12 @@ def dynamic_tiles(img: Image, nw: int, nh: int, image_size: int) -> list[Image]:
     (nw*image_size, nh*image_size), then crop row-major image_size tiles.
     The (nw, nh) plan comes from kernels.tiling.tile_plan — the same argmin
     the relational tile_boxes query proves against the oracle."""
+    from deepseek_ocr_spark.kernels.tiling import tile_boxes
+
     resized = resize_nearest(img, nw * image_size, nh * image_size)
-    tiles = []
-    for k in range(nw * nh):
-        box = (
-            (k % nw) * image_size,
-            (k // nw) * image_size,
-            (k % nw + 1) * image_size,
-            (k // nw + 1) * image_size,
-        )
-        tiles.append(crop(resized, box))
-    return tiles
+    # grid arithmetic lives ONCE, in tiling.tile_boxes (the same boxes the
+    # oracle-checked relational tile_boxes query derives)
+    return [crop(resized, box) for box in tile_boxes(nw, nh, image_size)]
 
 
 def to_tensor_normalized(

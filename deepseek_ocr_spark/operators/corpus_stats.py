@@ -41,8 +41,13 @@ def hll_registers(docs: DataFrame, col: str) -> DataFrame:
     """(bucket, m_j) — the HLL register table. Works unchanged on a
     STREAMING DataFrame (update mode): max is associative/commutative, so
     this is exactly 256 rows of incremental state — see
-    streaming/hll_stream.py."""
-    h = docs.select(F.md5(F.col(col)).alias("h")).select(
+    streaming/hll_stream.py.
+
+    NULL values are excluded BEFORE sketching — count-distinct semantics
+    ignore NULL in both engines, and an unfiltered NULL would fold into a
+    phantom max-rho register (least() skips nulls), biasing the estimate
+    against its own n_exact ground truth."""
+    h = docs.filter(F.col(col).isNotNull()).select(F.md5(F.col(col)).alias("h")).select(
         F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
         F.substring("h", 3, 30).alias("rest"),
     )
@@ -100,7 +105,7 @@ def hll_distinct_sql(table: str = "documents", col: str = "url") -> str:
 WITH h AS (
   SELECT CAST(('0x' || substr(md5({col}), 1, 2)) AS INT) AS bucket,
          substr(md5({col}), 3, 30) AS rest
-  FROM {table}
+  FROM {table} WHERE {col} IS NOT NULL
 ),
 r AS (
   SELECT bucket,

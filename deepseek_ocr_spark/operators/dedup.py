@@ -522,10 +522,14 @@ def components_from_edges(
     list (src, dst) via min-label propagation; the graph primitive behind
     dedup_components, reusable for any near-dup/link graph.
 
-    Intermediates are persisted and the previous round unpersisted so live
-    storage stays O(1); every _CHECKPOINT_EVERY rounds the labels are
-    localCheckpoint'ed, truncating lineage (the per-round join would
-    otherwise stack a linearly-growing DAG). Convergence is an exact count
+    Intermediates are persisted and the previous round unpersisted so the
+    cache-managed storage stays O(1); every _CHECKPOINT_EVERY rounds the
+    labels are localCheckpoint'ed, truncating lineage (the per-round join
+    would otherwise stack a linearly-growing DAG). Checkpointed rounds are
+    persisted at the RDD level where Dataset.unpersist is a no-op — those
+    blocks are reclaimed by Spark's ContextCleaner once the rotation drops
+    the last reference (bounded by GC latency: at most one checkpointed
+    label table per _CHECKPOINT_EVERY rounds is awaiting cleanup). Convergence is an exact count
     of changed labels; exhausting ``max_iter`` with changes still pending
     RAISES — a silently partial labeling is a wrong answer, not a result
     (a component of diameter > max_iter would quietly split into several

@@ -200,13 +200,19 @@ def ann_lsh_topk(
     qvec = query_vec if query_vec is not None else _fetch_embedding(emb, query_vec_id)
     # the query's bucket driver-side: identical left-to-right fold and a
     # SIGN test (no rounding anywhere), so it is bit-for-bit the value the
-    # in-plan expression computes — one lookup job instead of three
+    # in-plan expression computes — one lookup job instead of three.
+    # NaN parity: Spark SQL orders NaN above every value, so in-plan
+    # `proj >= 0` is TRUE for a NaN projection — Python must match or a
+    # corrupt embedding would be bucketed differently here than in the
+    # corpus-side lsh_buckets expression.
+    import math
+
     qb = 0
     for p in range(n_planes):
         proj = 0.0
         for i, x in enumerate(qvec[:dim]):
             proj = proj + x * _plane_coef(p, i)
-        if proj >= 0:
+        if proj >= 0 or math.isnan(proj):
             qb += 1 << p
     buckets = lsh_buckets(emb, dim, n_planes)
     cands = buckets.filter((F.col("bucket") == qb) & (F.col("vec_id") != query_vec_id))

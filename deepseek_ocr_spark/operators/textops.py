@@ -28,6 +28,8 @@ EOS_MARKER = "spark"  # stand-in marker word present in ~half the driver docs
 
 
 def eos_filter(docs: DataFrame) -> DataFrame:
+    """O-19/O-33: keep docs containing the EOS marker, strip it (the
+    SKIP_REPEAT gate + EOS strip as relational ops)."""
     return docs.filter(F.col("text").contains(EOS_MARKER)).select(
         "doc_id", F.replace(F.col("text"), F.lit(EOS_MARKER), F.lit("")).alias("stripped")
     )
@@ -74,6 +76,7 @@ FROM documents GROUP BY source
 
 
 def page_ordinals(docs: DataFrame) -> DataFrame:
+    """O-26: per-source ordinal (jdx analog) via a rank window."""
     win = Window.partitionBy("source").orderBy("doc_id")
     return docs.select(
         "doc_id", "source", (F.row_number().over(win) - 1).alias("ord")
@@ -90,6 +93,8 @@ FROM documents
 
 
 def metrics_rollup(docs: DataFrame) -> DataFrame:
+    """O-25: per-lang doc/char counts + exact integer-cents-style sums
+    (the compression-metrics aggregation shape)."""
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -171,6 +176,8 @@ SPAN_PATTERN = "(data|spark|table)"
 
 
 def span_extract(docs: DataFrame) -> DataFrame:
+    """O-30: grounding-tag span extraction (<|ref|>/<|det|> grammar) as
+    regexp_extract columns."""
     matches = F.regexp_extract_all(F.col("text"), F.lit(SPAN_PATTERN), 1)
     return docs.select(
         "doc_id",
@@ -320,6 +327,8 @@ FROM documents
 
 
 def anti_join_resume(docs: DataFrame) -> DataFrame:
+    """O-22/resume shape: left-anti join against the already-done set
+    (even doc_ids stand in for the manifest)."""
     done = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
     return docs.join(done, "doc_id", "left_anti").select("doc_id", "lang")
 
@@ -566,6 +575,8 @@ SELECT doc_id, source, rnk FROM (
 
 
 def events_hourly(events: DataFrame) -> DataFrame:
+    """Event-time tumbling rollup: per-hour event counts + distinct users
+    (the batch analog of streaming/windowed.py)."""
     # NOT date_trunc: Spark's date_trunc coerces TIMESTAMP_NTZ to LTZ and
     # truncates in the SESSION timezone (wrong by :30 under a half-hour-
     # offset zone); make_timestamp_ntz from tz-free field extracts matches

@@ -60,6 +60,8 @@ def _tile_batches(image_size: int, min_crops: int, max_crops: int):
                 "doc_id", "img_width", "img_height", "nw", "nh", "tile_ix", "tile_png"
             )}
             for doc_id, data in zip(pdf["doc_id"], pdf["png"]):
+                if data is None:
+                    continue  # NULL payload (e.g. join miss) — drop, don't crash
                 try:
                     img = pixels.decode_png(bytes(data))
                 except ValueError:  # hostile-payload rule
@@ -119,6 +121,8 @@ def _view_batches(base_size: int):
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "img_width", "img_height", "view_png")}
             for doc_id, data in zip(pdf["doc_id"], pdf["png"]):
+                if data is None:
+                    continue
                 try:
                     img = pixels.decode_png(bytes(data))
                 except ValueError:
@@ -166,6 +170,11 @@ def _region_batches():
                 pdf["doc_id"], pdf["png"], pdf["region_ix"],
                 pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
             ):
+                # Arrow surfaces NULL ints as NaN in pandas — pd.isna
+                # catches both; a NULL payload/box (join miss) drops the
+                # row, never crashes the task
+                if data is None or any(pd.isna(v) for v in (rix, x1, y1, x2, y2)):
+                    continue
                 try:
                     img = pixels.decode_png(bytes(data))
                     c = pixels.crop(img, (int(x1), int(y1), int(x2), int(y2)))

@@ -82,13 +82,14 @@ def load_documents_iceberg(
 
     Raises a clear error when the runtime lacks the Iceberg jars (this
     sandbox); the call shape is the production contract."""
-    try:
-        reader = spark.read.format("iceberg")
-        if snapshot_id is not None:
-            reader = reader.option("snapshot-id", str(snapshot_id))
-        return reader.load(table)
-    except Exception as exc:  # pragma: no cover - no iceberg jars in sandbox
-        raise RuntimeError(_NO_ICEBERG_MSG) from exc
+    if not iceberg_available(spark):
+        raise RuntimeError(_NO_ICEBERG_MSG)
+    # jars present: let real errors (bad identifier, catalog misconfig)
+    # surface as themselves instead of masquerading as a missing runtime
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    return reader.load(table)
 
 
 def write_documents_iceberg(
@@ -100,14 +101,13 @@ def write_documents_iceberg(
     transforms ARE the salt, applied by the table format so every writer
     and reader agrees). DataFrameWriterV2 so partitioning is declared on
     the table, not re-derived per job."""
-    try:
-        (
-            df.writeTo(table)
-            .partitionedBy(F.days("warc_ts"), F.bucket(url_buckets, "url"))
-            .createOrReplace()
-        )
-    except Exception as exc:  # pragma: no cover - no iceberg jars in sandbox
-        raise RuntimeError(_NO_ICEBERG_MSG) from exc
+    if not iceberg_available(df.sparkSession):
+        raise RuntimeError(_NO_ICEBERG_MSG)
+    (
+        df.writeTo(table)
+        .partitionedBy(F.days("warc_ts"), F.bucket(url_buckets, "url"))
+        .createOrReplace()
+    )
 
 
 _NO_ICEBERG_MSG = (

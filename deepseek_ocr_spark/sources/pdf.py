@@ -53,10 +53,55 @@ def pdf_pages(docs: DataFrame, url_col: str = "url", pdf_col: str = "pdf") -> Da
     return src.mapInPandas(_page_batches, PDF_PAGES_SCHEMA)
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _escape_html(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _pages_to_html(pages: list[str]) -> bytes:
+    """Extracted page texts → the engine's document model: one page div per
+    PDF page (the extraction pipeline's splitter consumes exactly this
+    shape), one <p> per text line, entities escaped."""
+    divs = []
+    for p, text in enumerate(pages):
+        body = "".join(
+            f"<p>{_escape_html(line)}</p>" for line in text.split("\n") if line
+        )
+        divs.append(f'<div class="page" data-page="{p}">{body}</div>')
+    return ("<html><body>" + "".join(divs) + "</body></html>").encode("utf-8")
+
+
+def _doc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        rows = {"url": [], "warc_ts": [], "html": [], "text": []}
+        for url, ts, data in zip(b["url"], b["warc_ts"], b["pdf"]):
+            pages = extract_pdf_text(bytes(data)) if data is not None else []
+            rows["url"].append(url)
+            rows["warc_ts"].append(ts)
+            rows["html"].append(_pages_to_html(pages))
+            rows["text"].append("\n\n".join(pages))
+        out = pd.DataFrame(rows)
+        out["lang"] = None
+        yield out
+
+
 def load_documents_pdf(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
-    """Directory of .pdf files → input_hint document shape: text = the
-    page texts joined with the engine's page separator semantics (one doc
-    row per file; use pdf_pages for the per-page table)."""
+    """Directory of .pdf files → input_hint document shape in ONE pass
+    (each file is read and parsed exactly once; no shuffle): text = the
+    joined text layer, html = the page-div document-model rendering of the
+    extracted pages, so the extraction pipeline consumes a PDF drop
+    directly (run_extract --input-format pdf) with real per-page fan-out.
+    Use pdf_pages for the page-granular table."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -65,25 +110,4 @@ def load_documents_pdf(spark: SparkSession, path: str, glob: str = "*.pdf") -> D
                 F.col("modificationTime").alias("warc_ts"),
                 F.col("content").alias("pdf"))
     )
-    pages = pdf_pages(raw, "url", "pdf")
-    assembled = (
-        pages.groupBy("url")
-        .agg(
-            F.concat_ws(
-                "\n\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("page_no", "text"))
-                    ),
-                    lambda p: p["text"],
-                ),
-            ).alias("text"),
-        )
-    )
-    return raw.join(assembled, "url", "left").select(
-        "url",
-        "warc_ts",
-        F.col("pdf").alias("html"),  # the raw payload rides in the binary col
-        F.coalesce("text", F.lit("")).alias("text"),
-        F.lit(None).cast("string").alias("lang"),
-    )
+    return raw.mapInPandas(_doc_batches, DOCS_SCHEMA)

@@ -13,6 +13,7 @@ from pathlib import Path
 
 from deepseek_ocr_spark import entry_queries
 from deepseek_ocr_spark.operators import (  # noqa: F401 — resolved via getattr
+    corpus_stats,
     dedup,
     multimodal,
     ngram_window,
@@ -20,9 +21,11 @@ from deepseek_ocr_spark.operators import (  # noqa: F401 — resolved via getatt
     similarity,
     temporal,
     textops,
+    tiling_relational,
 )
 
 MODULES = {
+    "corpus_stats": corpus_stats,
     "dedup": dedup,
     "multimodal": multimodal,
     "ngram_window": ngram_window,
@@ -30,6 +33,7 @@ MODULES = {
     "similarity": similarity,
     "temporal": temporal,
     "textops": textops,
+    "tiling_relational": tiling_relational,
 }
 
 
@@ -44,6 +48,13 @@ def _summary_for(fn) -> str:
         m = re.search(r"(\w+)\.(\w+)\(", src)
         if m and m.group(1) in MODULES:
             doc = inspect.getdoc(getattr(MODULES[m.group(1)], m.group(2), None))
+        if not doc:
+            # bare function calls imported into entry_queries' namespace
+            for name in re.findall(r"\b(\w+)\(", src):
+                target = getattr(entry_queries, name, None)
+                if callable(target) and inspect.getdoc(target):
+                    doc = inspect.getdoc(target)
+                    break
     if not doc:
         return "—"
     one = " ".join(doc.split())

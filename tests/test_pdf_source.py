@@ -75,6 +75,9 @@ def test_pdf_pages_spark(spark, tmp_path):
     assert rows["a.pdf"]["text"] == "doc a page 1\n\ndoc a page 2"
     assert rows["b.pdf"]["text"] == "doc b only page"
     assert rows["junk.pdf"]["text"] == ""  # routing signal for the OCR path
+    # html carries the engine's document model (page divs), not raw PDF bytes
+    html = bytes(rows["a.pdf"]["html"]).decode()
+    assert html.count('class="page"') == 2 and "doc a page 2" in html
 
     raw = spark.createDataFrame(
         [("a", make_simple_pdf(["p0", "p1", "p2"]))], "url STRING, pdf BINARY"
@@ -83,3 +86,52 @@ def test_pdf_pages_spark(spark, tmp_path):
     assert got == [(0, "p0"), (1, "p1"), (2, "p2")]
     plan = pdf_pages(raw)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" in plan
+
+
+def test_pdf_kids_order_overrides_object_numbering():
+    """Page order comes from the /Pages /Kids array, not object numbers —
+    a merged/edited PDF commonly numbers pages out of display order."""
+    c1, c2 = b"BT (FIRST) Tj ET", b"BT (SECOND) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c2)).encode() + b" >>\nstream\n"
+        + c2 + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(c1)).encode() + b" >>\nstream\n"
+        + c1 + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["FIRST", "SECOND"]
+
+
+def test_run_extract_from_pdf_dir(spark, tmp_path):
+    """run_extract --input-format pdf: the TEXT LAYER (not raw PDF bytes)
+    flows through the extraction pipeline with real per-page fan-out."""
+    import os
+    import subprocess
+    import sys
+
+    d = tmp_path / "pdf_job_in"
+    d.mkdir()
+    (d / "doc.pdf").write_bytes(
+        make_simple_pdf(["alpha page content", "beta page content"])
+    )
+    out = str(tmp_path / "out")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "-m", "deepseek_ocr_spark.jobs.run_extract",
+         "--input", str(d), "--input-format", "pdf", "--output", out],
+        capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = spark.read.parquet(f"{out}/extracted").collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["n_pages"] == 2
+    assert "alpha page content" in row["text"].lower()
+    assert "beta page content" in row["text"].lower()
+    assert row["text"].count("<--- Page Split --->") == 2

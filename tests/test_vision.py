@@ -97,3 +97,20 @@ def test_gundam_tiles_real_config_size(spark):
     last = pixels.decode_png(bytes(rows[-1]["tile_png"]))
     assert first[:3] == (640, 640, 3) and first == expected[0]
     assert last == expected[-1]
+
+
+def test_vision_null_payloads_dropped_not_crashed(spark):
+    """NULL payloads (join misses) must drop rows, not kill the task."""
+    df = spark.createDataFrame(
+        [(1, None), (2, pixels.encode_png(gradient(130, 70)))],
+        "doc_id LONG, png BINARY",
+    )
+    assert {r["doc_id"] for r in gundam_tiles(df, image_size=SZ).collect()} == {2}
+    assert {r["doc_id"] for r in global_views(df, base_size=SZ).collect()} == {2}
+    regions = spark.createDataFrame(
+        [(1, None, 0, 0, 0, 5, 5),
+         (2, pixels.encode_png(gradient(20, 20)), None, 0, 0, 5, 5),
+         (3, pixels.encode_png(gradient(20, 20)), 0, 0, 0, 5, 5)],
+        "doc_id LONG, png BINARY, region_ix INT, x1 INT, y1 INT, x2 INT, y2 INT",
+    )
+    assert {r["doc_id"] for r in region_crops(regions).collect()} == {3}
