@@ -299,8 +299,13 @@ FROM tiled
 
 # --- registry ----------------------------------------------------------------
 
-# name → (query_fn, oracle_sql_or_None)
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+# name → (query_fn, oracle_sql_or_None). Definition order is readability
+# order (grouped by family); the DRIVER order is imposed below via
+# _DRIVER_HEAD — the correctness driver samples the FIRST 50 registry
+# entries, so queries that have not yet produced a driver CORRECTNESS row
+# must occupy the head. New queries go into _DRIVER_HEAD, never appended
+# past position 50 (tests/test_entry_queries.py pins this).
+_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # extraction-core relational ops (SURVEY.md §2 ★)
     "tile_plan_argmin": (q_tile_plan_argmin, Q_TILE_PLAN_SQL),
     "vision_tokens": (q_vision_tokens, Q_VISION_TOKENS_SQL),
@@ -611,6 +616,43 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "extract_pipeline": (q_extract_pipeline, None),
     "extract_summary": (q_extract_summary, _extract_summary_sql()),
 }
+
+
+# Driver-priority head: queries that still need a driver CORRECTNESS row,
+# most-starved first — (a) never driver-checked in any round, (b) checked
+# only in r01/r02 and rotated out of r03. Everything else follows in _DEFS
+# order; long-green stalwarts land past position 50 and rest on their
+# recorded rows + the local replica gate.
+_DRIVER_HEAD: list[str] = [
+    # (a) never driver-checked (as of r03)
+    "similarity_ann_ivf",
+    "similarity_ann_lsh_256",
+    "similarity_ann_recall",
+    "hll_distinct_sources",
+    "hll_distinct_texts",
+    "tfidf_top_terms",
+    "inverted_index",
+    "ngram_repeat_flags",
+    "multimodal_resize",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "extract_summary",
+    # (b) checked only in r01/r02
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "langid_heuristic",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "extract_pipeline",
+]
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    name: _DEFS[name] for name in _DRIVER_HEAD
+}
+REGISTRY.update({name: defn for name, defn in _DEFS.items() if name not in REGISTRY})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

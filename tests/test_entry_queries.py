@@ -79,6 +79,20 @@ def test_query_matches_oracle(name, spark, duck):
         pytest.fail(f"{name}: value hash mismatch\n spark-only={only_s}\n duck-only={only_d}")
 
 
+def test_driver_head_ordering():
+    """The correctness driver checks the FIRST 50 registry entries in order
+    (verified in VERDICT r03: r03 keys == QUERIES.md rows 1-50). Pin that
+    (a) every driver-priority name sits in the head, (b) nothing priority
+    falls past position 50, (c) the reorder dropped no query."""
+    from deepseek_ocr_spark.entry_queries import _DEFS, _DRIVER_HEAD, REGISTRY
+
+    keys = list(REGISTRY)
+    assert keys[: len(_DRIVER_HEAD)] == _DRIVER_HEAD
+    assert len(_DRIVER_HEAD) <= 50
+    assert set(REGISTRY) == set(_DEFS)
+    assert len(REGISTRY) == len(_DEFS)
+
+
 def test_rows_only_queries_run(spark):
     for name in set(QUERIES) - set(ORACLES):
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
