@@ -64,9 +64,18 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = load_documents_warc(spark, args.input)
         elif args.input_format == "jsonl":
+            from pyspark.sql import functions as F
+
             from deepseek_ocr_spark.sources.warc import load_documents_jsonl
 
-            docs = load_documents_jsonl(spark, args.input).drop("_corrupt_record")
+            # quarantine malformed lines BEFORE dropping the marker column —
+            # a corrupt row otherwise becomes a phantom document with NULL
+            # url/text and html coalesced to b"" flowing into extraction
+            docs = (
+                load_documents_jsonl(spark, args.input)
+                .filter(F.col("_corrupt_record").isNull())
+                .drop("_corrupt_record")
+            )
         elif args.input_format == "pdf":
             from deepseek_ocr_spark.sources.pdf import load_documents_pdf
 

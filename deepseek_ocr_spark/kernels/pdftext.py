@@ -26,6 +26,12 @@ import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# direct /Length only — the ([0-9\s]*R) lookahead rejects indirect
+# references like `/Length 8 0 R` (and any backtracked digit prefix)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9\s]*R)")
+# inline-image data terminator: whitespace-delimited EI
+_EI_RE = re.compile(rb"\sEI(?=\s|$)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -73,11 +79,28 @@ def _objects(data: bytes) -> dict[int, bytes]:
 
 
 def _stream_of(body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(body)
-    if m is None:
+    """Stream body, bounded by the dict's direct /Length when present and
+    consistent (compressed bytes may legitimately contain "\\nendstream",
+    which would truncate the non-greedy regex scan); falls back to the
+    regex for missing/indirect/implausible lengths — degrade, don't raise."""
+    sm = _STREAM_START_RE.search(body)
+    if sm is None:
         return None
-    raw = m.group(1)
-    if b"/FlateDecode" in body[: m.start()]:
+    start = sm.end()
+    raw = None
+    lm = _LENGTH_RE.search(body[: sm.start()])
+    if lm:
+        length = int(lm.group(1))
+        cand = body[start : start + length]
+        tail = body[start + length : start + length + 16]
+        if len(cand) == length and re.match(rb"\s*endstream", tail):
+            raw = cand
+    if raw is None:
+        m = _STREAM_RE.search(body)
+        if m is None:
+            return None
+        raw = m.group(1)
+    if b"/FlateDecode" in body[: sm.start()]:
         try:
             return zlib.decompress(raw)
         except zlib.error:
@@ -170,6 +193,20 @@ def _extract_stream_text(content: bytes) -> str:
             while j < n and (content[j : j + 1].isalpha() or content[j : j + 1] in (b"*", b"'", b'"')):
                 j += 1
             op = content[i:j]
+            if op == b"BI":
+                # inline image: binary sample data between ID and a
+                # whitespace-delimited EI would otherwise be walked as text
+                # operators (stray parens → garbage strings). Skip the whole
+                # section; unterminated data ends the stream walk.
+                id_pos = content.find(b"ID", j)
+                if id_pos == -1:
+                    break
+                ei = _EI_RE.search(content, id_pos + 2)
+                if ei is None:
+                    break
+                pending.clear()
+                i = ei.end()
+                continue
             if op in (b"Tj", b"TJ"):
                 parts.extend(s.decode("latin-1") for s in pending)
             elif op in (b"'", b'"'):

@@ -534,6 +534,11 @@ def components_from_edges(
     RAISES — a silently partial labeling is a wrong answer, not a result
     (a component of diameter > max_iter would quietly split into several
     survivors)."""
+    if max_iter < 1:
+        # with zero rounds the loop never runs and the identity labeling
+        # would be returned silently — same wrong-answer class the
+        # non-convergence raise below exists to prevent
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

@@ -626,9 +626,14 @@ def median_chars_by_lang(docs: DataFrame) -> DataFrame:
     partitions on the ~5-value lang key — 5 reducers sorting everything is
     NOT a 10^12-row plan; at corpus scale ``approx_percentile`` (sketch,
     map-side mergeable) serves queries and this exact plan verifies it on
-    samples."""
+    samples.
+
+    NULL n_chars rows are excluded BEFORE ranking (percentile semantics
+    ignore NULL measures) — also the only cross-engine-safe choice: Spark
+    sorts NULLS FIRST ascending, DuckDB NULLS LAST, so an unfiltered NULL
+    would shift every rank differently per engine."""
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
+    ranked = docs.filter(F.col("n_chars").isNotNull()).select(
         "lang",
         "n_chars",
         F.row_number().over(w).alias("_rn"),
@@ -647,7 +652,7 @@ WITH ranked AS (
   SELECT lang, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS _rn,
          count(*) OVER (PARTITION BY lang) AS _n
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 )
 SELECT lang, n_chars AS median_chars
 FROM ranked WHERE _rn = CAST(floor((_n + 1) / 2) AS BIGINT)
@@ -783,9 +788,11 @@ def quantiles_by_lang(docs: DataFrame) -> DataFrame:
     ONE ranked pass (percentile_disc semantics: rank ceil(q*n), computed
     with integer arithmetic so both engines pick the identical row).
     Same scale note as the median: exact-on-samples verifier for the
-    approx_percentile sketch that serves 10^12-row queries."""
+    approx_percentile sketch that serves 10^12-row queries.
+
+    NULL n_chars excluded before ranking — see median_chars_by_lang."""
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
+    ranked = docs.filter(F.col("n_chars").isNotNull()).select(
         "lang",
         "n_chars",
         F.row_number().over(w).alias("_rn"),
@@ -811,7 +818,7 @@ WITH ranked AS (
   SELECT lang, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS _rn,
          count(*) OVER (PARTITION BY lang) AS _n
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 )
 SELECT lang,
        max(CASE WHEN _rn = (1 * _n + 1) // 2 THEN n_chars END) AS p50_chars,

@@ -39,3 +39,11 @@ def test_non_convergence_raises(spark):
     nodes, edges = _chain(spark, 12)
     with pytest.raises(RuntimeError, match="did not converge"):
         components_from_edges(nodes, edges, max_iter=3)
+
+
+def test_zero_max_iter_rejected_up_front(spark):
+    # max_iter=0 would skip the loop entirely and silently return the
+    # identity labeling — the same wrong-answer class as non-convergence
+    nodes, edges = _chain(spark, 3)
+    with pytest.raises(ValueError, match="max_iter"):
+        components_from_edges(nodes, edges, max_iter=0)

@@ -21,6 +21,9 @@ EDGE_ROWS = [
     (8, "tab\tseparated  and  doubled  spaces", "de", "src1", 35),
     (9, "one two three four five six seven", "en", "src2", 33),
     (10, "one two three four five six seven", "en", "src2", 33),
+    # NULL measure: Spark sorts NULLS FIRST asc, DuckDB NULLS LAST — the
+    # rank-based quantile/median queries must exclude it on both sides
+    (11, "null metric text", "en", "src1", None),
 ]
 
 EDGE_QUERIES = [

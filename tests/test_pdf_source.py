@@ -53,6 +53,101 @@ def test_pdf_hostile_never_raises():
         assert isinstance(out, list)
 
 
+def test_pdf_length_bounds_stream_with_embedded_endstream():
+    """Compressed bytes that happen to contain b"\\nendstream" must NOT
+    truncate the stream when the dict carries a direct /Length — the bounded
+    slice decompresses; the regex fallback would hand zlib a prefix."""
+    text = "length bounded page"
+    ops = f"BT ({text}) Tj ET".encode()
+    comp = None
+    # search for a marker-containing compressed body by salting the stream
+    for salt in range(20000):
+        cand = zlib.compress(ops + b" % pad " + str(salt).encode(), 9)
+        if b"\nendstream" in cand:
+            comp = cand
+            break
+    if comp is None:  # build one explicitly: stored (level-0) blocks keep bytes verbatim
+        comp = zlib.compress(ops + b" % \nendstream ", 0)
+        assert b"\nendstream" in comp
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == [text]
+
+
+def test_pdf_indirect_length_falls_back_to_regex():
+    """/Length as an indirect reference (`5 0 R`) must not be misread as a
+    byte count — the parser falls back to the regex scan."""
+    content = b"BT (indirect length) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["indirect length"]
+
+
+def test_pdf_wrong_direct_length_falls_back_to_regex():
+    """A direct /Length that does not land on `endstream` is implausible —
+    fall back rather than emit a truncated/overlong body."""
+    content = b"BT (bad length) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 7 >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["bad length"]
+
+
+def test_pdf_inline_image_data_skipped():
+    """BI…ID <binary>…EI sample data contains stray parens and letters that
+    must not be walked as text operators; text on both sides survives."""
+    binary = b"\x00(\xff garbage ) Tj fake\x01\x02"
+    content = (
+        b"BT (before) Tj ET "
+        b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID " + binary + b" EI "
+        b"BT (after) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["beforeafter"]
+
+
+def test_pdf_unterminated_inline_image_degrades():
+    content = b"BT (kept) Tj ET BI /W 1 ID \x00\x01 no terminator"
+    pdf = make_simple_pdf(["placeholder"])  # shape only; build raw below
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["kept"]
+
+
 def test_pdf_flate_actually_compressed():
     raw = make_simple_pdf(["compressed page"], compress=True)
     assert b"/FlateDecode" in raw and b"compressed page" not in raw

@@ -89,6 +89,13 @@ def test_jsonl_source(spark, tmp_path):
     corrupt = [r for r in rows.values() if r["_corrupt_record"] is not None]
     assert len(corrupt) == 1 and "not json" in corrupt[0]["_corrupt_record"]
 
+    # the run_extract composition: quarantine BEFORE dropping the marker —
+    # the corrupt line must not become a phantom NULL-url document
+    from pyspark.sql import functions as F
+
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    assert sorted(r["url"] for r in clean.collect()) == ["u1", "u2"]
+
 
 def test_warc_feeds_extract_pipeline(spark, tmp_path):
     """Integration: WARC records flow through the full extraction pipeline
