@@ -176,11 +176,14 @@ FROM sig
 """
 
 
+DEFAULT_MAX_BUCKET = 1000
+
+
 def dedup_minhash_pairs(
     docs: DataFrame,
     n_hashes: int = N_MINHASHES,
     n_bands: int = N_BANDS,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs (a_doc_id < b_doc_id) sharing any LSH band.
 
@@ -189,7 +192,10 @@ def dedup_minhash_pairs(
     10^12 candidate pairs from a single key. Buckets larger than the cap
     are excluded from pairing ENTIRELY (deterministic — their members are
     trivially findable by exact dedup anyway, which is why the composition
-    runs dedup_exact first). None = exact/uncapped.
+    runs dedup_exact first). The default is CAPPED at DEFAULT_MAX_BUCKET —
+    the safe-at-scale behavior; pass ``max_bucket=None`` to opt in to the
+    exact/uncapped small-corpus path (a viral bucket then builds an
+    O(bucket²)-struct array inside ONE row: single-task OOM).
 
     Plan shape (round 3): pairs are enumerated WITHIN each band bucket
     (groupBy band → sorted id set → ordered combinations) instead of a
@@ -234,7 +240,7 @@ def dedup_minhash_pairs_sql(
     table: str = "documents",
     n_hashes: int = N_MINHASHES,
     n_bands: int = N_BANDS,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     band_union = "\n  UNION ALL ".join(
         f"SELECT doc_id, band{b} AS band FROM sig" for b in range(n_bands)

@@ -383,6 +383,28 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_topk_indexed(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    dim: int = 64,
+) -> DataFrame:
+    """ann_ivf_topk with the index MATERIALIZED first — the deployment
+    shape the registry/bench measure. At 100 TB ``ivf_assignments`` is a
+    parquet table written once, partitioned by centroid_id (the probe
+    filter becomes partition pruning); here the analog is an eagerly-built
+    cached table, so query-time plans READ the index instead of paying the
+    corpus×centroid build inline on every query (r3 bench measured the
+    inline recompute: 1.58s vs the promised ~2× drop)."""
+    assignments = ivf_assignments(emb, n_centroids, dim).persist()
+    assignments.count()  # build the index NOW; queries below hit the cache
+    return ann_ivf_topk(
+        emb, query_vec_id, k, n_centroids, n_probe, dim, assignments=assignments
+    )
+
+
 def _centroids_values_sql(n_centroids: int, dim: int) -> str:
     rows = ", ".join(
         "({}, [{}]::DOUBLE[])".format(cid, ", ".join(str(v) for v in vec))
@@ -409,8 +431,12 @@ def ann_recall(
     brute = F.broadcast(
         cosine_topk(emb, query_vec_id, k, query_vec=qvec).select("vec_id")
     )
+    # the ivf leg reads a materialized index, same as ann_ivf_topk_indexed
+    assignments = ivf_assignments(emb, dim=dim).persist()
+    assignments.count()
     variants = [
-        ("ivf", ann_ivf_topk(emb, query_vec_id, k, dim=dim, query_vec=qvec)),
+        ("ivf", ann_ivf_topk(emb, query_vec_id, k, dim=dim, query_vec=qvec,
+                             assignments=assignments)),
         ("lsh_16", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=4,
                                 query_vec=qvec)),
         ("lsh_256", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=8,

@@ -55,10 +55,28 @@ def test_column_pruning_reaches_scan(spark):
 
 
 def test_ivf_index_computed_once(spark):
-    """INDEX/QUERY split: the executed plan of ann_ivf_topk must contain
-    exactly ONE corpus×centroid join (probe selection is a driver-side
-    1-row lookup, not a second full-corpus cross join)."""
-    q = QUERIES["similarity_ann_ivf"](spark, SF_DIR)
-    plan = _plan(q)
+    """INDEX/QUERY split, inline path: the executed plan of ann_ivf_topk
+    must contain exactly ONE corpus×centroid join (probe selection is a
+    driver-side 1-row lookup, not a second full-corpus cross join)."""
+    from deepseek_ocr_spark.operators.similarity import ann_ivf_topk
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(ann_ivf_topk(df))
     n_cross = plan.count("BroadcastNestedLoopJoin")
     assert n_cross == 1, f"expected 1 corpus×centroid join, plan has {n_cross}"
+
+
+def test_ivf_registry_query_reads_materialized_index(spark):
+    """Deployment shape: the REGISTRY/bench query builds the index up front
+    and the query-time plan READS it — zero corpus×centroid joins in the
+    measured plan, index served from the cached table."""
+    q = QUERIES["similarity_ann_ivf"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "InMemoryTableScan" in plan, "materialized assignments not read from cache"
+    # toString prints the cached relation's BUILD plan inline (nested under
+    # InMemoryRelation) — the corpus×centroid join may only appear there,
+    # never in the query-time section above it
+    query_side = plan.split("InMemoryRelation", 1)[0]
+    assert "BroadcastNestedLoopJoin" not in query_side, (
+        "query-time plan still builds the index inline"
+    )

@@ -66,6 +66,24 @@ def test_short_doc_shingle_ops_no_crash(spark):
     dedup_minhash_pairs(docs).count()  # no crash
 
 
+def test_minhash_pairs_default_cap_excludes_hot_bucket(spark):
+    """The DEFAULT max_bucket is finite: a synthetic viral bucket (cap+1
+    identical docs → one band bucket) yields ZERO pairs under defaults, and
+    the uncapped path remains an explicit opt-in (max_bucket=None)."""
+    from deepseek_ocr_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET, dedup_minhash_pairs)
+
+    n = DEFAULT_MAX_BUCKET + 1
+    docs = spark.createDataFrame(
+        [(i, "the exact same viral text payload here") for i in range(n)],
+        "doc_id long, text string",
+    )
+    assert dedup_minhash_pairs(docs).count() == 0
+    # explicit opt-out still enumerates: n*(n-1)/2 pairs from the one bucket
+    small = docs.limit(5)
+    assert dedup_minhash_pairs(small, max_bucket=None).count() == 10
+
+
 def test_duplicate_page_no_keeps_document_order(spark):
     """Regression: assembly must not tie-break duplicate page_no on content."""
     from deepseek_ocr_spark.oracle.runner import extract_url
