@@ -1,4 +1,4 @@
-"""Pure-stdlib pixel kernel: PNG codec + the reference's pixel geometry ops.
+"""Pixel kernel: PNG codec + the reference's pixel geometry ops.
 
 Retires the round-1/2 pixel-stub substitution: PNG decode/encode is real
 (zlib is stdlib), so Gundam tile crops, the padded global view, EXIF
@@ -6,18 +6,31 @@ transposes, and region crops all run on actual pixel grids — no PIL/cv2.
 
 Reference parity targets (cited per function):
 - dynamic_preprocess crop loop — image_process.py:44-83
+- resize interpolation         — image_process.py:60-63 (PIL bicubic)
 - ImageOps.pad global view      — image_process.py:386-388
 - ImageOps.exif_transpose       — run_dpsk_ocr_image.py:33
 - region crop + save            — run_dpsk_ocr_image.py:107-108
 
-DOCUMENTED SUBSTITUTION (the one remaining numerics gate): PIL's default
-``Image.resize`` filter is bicubic; this kernel resizes with deterministic
-center-sample NEAREST (exact integer arithmetic, identical on every
-platform). All GEOMETRY — contain/round sizing, centering offsets, tile
-grids, crop boxes, fill color — reproduces PIL's arithmetic exactly
-(``round`` here is Python banker's rounding, same builtin PIL calls);
-only the interpolation kernel differs, and every test computes expected
-pixels independently of this module's resize.
+Resize is PIL-parity BICUBIC (round 4): the separable two-pass fixed-point
+resample Pillow's 8-bit path performs — Keys kernel a=-0.5, support 2,
+coefficient windows rounded at (int)(center ± support + 0.5), coefficients
+normalized then quantized to 22-bit fixed point with round-half-away,
+horizontal pass quantized to uint8 BEFORE the vertical pass, accumulator
+seeded with the rounding constant and clamped after an arithmetic shift.
+All of that is public Pillow behavior (src/libImaging/Resample.c semantics)
+re-derived here in numpy; no PIL import. GEOMETRY (contain/round sizing,
+centering offsets, tile grids, crop boxes, fill color) reproduces PIL's
+arithmetic exactly as before (builtin ``round`` = banker's, same as PIL).
+``resize_nearest`` (deterministic center-sample) remains available as a
+cheap explicit alternative but is no longer on the reference-parity path.
+
+THROUGHPUT (round 4): the hot loops are numpy-vectorized — PNG unfilter
+(filters 0/1/2 whole-row; 3/4 keep the spec's sequential left-dependency),
+encode filters (all five), nearest/bicubic resize, paste, crop, EXIF
+transpose, tensor normalize, palette expansion. The original pure-Python
+implementations are retained as the ``_py_*`` oracle lane and pinned
+byte-equal in tests/test_pixels.py — the numpy lane is the engine, the
+pure-Python lane is the spec.
 
 An image in this module is the tuple (w, h, c, buf) with ``buf`` a
 bytes-like of length w*h*c, rows top-down, channels interleaved, 8 bits
@@ -26,8 +39,11 @@ per sample.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
+
+import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -35,6 +51,12 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 Image = tuple[int, int, int, bytes]
+
+
+def _arr(img: Image) -> np.ndarray:
+    """(h, w, ch) uint8 view of an Image's buffer (no copy)."""
+    w, h, ch, buf = img
+    return np.frombuffer(buf, np.uint8).reshape(h, w, ch)
 
 
 # --- PNG decode -----------------------------------------------------------------
@@ -98,16 +120,76 @@ def _decode_png(data: bytes) -> Image:
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        rgb = bytearray(w * h * 3)
-        for px in range(w * h):
-            p = buf[px] * 3
-            rgb[px * 3 : px * 3 + 3] = plte[p : p + 3]
-        return (w, h, 3, bytes(rgb))
+        if len(plte) < 3 * (int(np.frombuffer(bytes(buf), np.uint8).max()) + 1):
+            raise ValueError("palette index out of range")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        rgb = pal[np.frombuffer(bytes(buf), np.uint8)]
+        return (w, h, 3, rgb.tobytes())
     return (w, h, ch, bytes(buf))
 
 
 def _unfilter(raw: bytes, w: int, h: int, ch: int) -> bytearray:
-    """Reverse PNG scanline filters 0-4 (spec §6); bpp = ch at depth 8."""
+    """Reverse PNG scanline filters 0-4 (spec §6); bpp = ch at depth 8.
+
+    numpy lane: filters 0/1/2 are whole-row vector ops (Sub is a per-lane
+    cumulative sum mod 256; Up is native uint8 wraparound addition); 3/4
+    carry the spec's sequential left-pixel dependency and stay per-byte —
+    our own encoder emits filter 0, so the engine's own outputs always
+    take the vector path."""
+    stride = w * ch
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    zero = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:]
+        prev = out[y - 1] if y else zero
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: recon = per-lane prefix sum of raw, mod 256
+            out[y] = (
+                np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: uint8 addition wraps mod 256 natively
+            out[y] = line + prev
+        elif f in (3, 4):
+            out[y] = np.frombuffer(
+                _unfilter_row_py(f, line.tobytes(), prev.tobytes(), ch), np.uint8
+            )
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    return bytearray(out.tobytes())
+
+
+def _unfilter_row_py(f: int, line_b: bytes, prev_b: bytes, ch: int) -> bytes:
+    """Sequential filters (Average/Paeth) for one row — byte loop, exact."""
+    line = bytearray(line_b)
+    stride = len(line)
+    if f == 3:  # Average
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            line[x] = (line[x] + ((a + prev_b[x]) >> 1)) & 0xFF
+    else:  # 4: Paeth
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev_b[x]
+            c = prev_b[x - ch] if x >= ch else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                pr = a
+            elif pb <= pc:
+                pr = b
+            else:
+                pr = c
+            line[x] = (line[x] + pr) & 0xFF
+    return bytes(line)
+
+
+def _py_unfilter(raw: bytes, w: int, h: int, ch: int) -> bytearray:
+    """Pure-Python oracle for _unfilter (the original round-3 lane) —
+    retained so tests pin the numpy lane byte-equal to the spec."""
     stride = w * ch
     out = bytearray(stride * h)
     prev_row_start = -1
@@ -160,16 +242,52 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> bytearray:
 _CHANNELS_CT = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
-def encode_png(img: Image, filter_type: int = 0) -> bytes:
-    """Encode to PNG with a single scanline filter type (0-4) on every row.
-
-    Filter 0 is the deterministic default; the other filters exist so tests
-    exercise every _unfilter branch against a reference pattern."""
+def _filter_rows(img: Image, filter_type: int) -> bytes:
+    """Filtered scanlines (filter byte + filtered row, every row) — fully
+    vectorized: every encode filter references only ORIGINAL bytes (left /
+    up / up-left of the source), no sequential dependency."""
     w, h, ch, buf = img
-    if ch not in _CHANNELS_CT:
-        raise ValueError(f"unsupported channel count {ch}")
-    if len(buf) != w * h * ch:
-        raise ValueError("buffer length != w*h*c")
+    stride = w * ch
+    arr = np.frombuffer(buf, np.uint8).reshape(h, stride)
+    if filter_type == 0:
+        enc = arr
+    else:
+        prev = np.zeros_like(arr)
+        prev[1:] = arr[:-1]
+        left = np.zeros_like(arr)
+        left[:, ch:] = arr[:, :-ch]
+        if filter_type == 1:
+            enc = arr - left  # uint8 wraparound = mod 256
+        elif filter_type == 2:
+            enc = arr - prev
+        elif filter_type == 3:
+            avg = ((left.astype(np.int16) + prev.astype(np.int16)) >> 1).astype(
+                np.uint8
+            )
+            enc = arr - avg
+        elif filter_type == 4:
+            upleft = np.zeros_like(arr)
+            upleft[:, ch:] = prev[:, :-ch]
+            a = left.astype(np.int16)
+            b = prev.astype(np.int16)
+            c = upleft.astype(np.int16)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pr = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            ).astype(np.uint8)
+            enc = arr - pr
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+    rows = np.empty((h, stride + 1), np.uint8)
+    rows[:, 0] = filter_type
+    rows[:, 1:] = enc
+    return rows.tobytes()
+
+
+def _py_filter_rows(img: Image, filter_type: int) -> bytes:
+    """Pure-Python oracle for _filter_rows (original round-3 lane)."""
+    w, h, ch, buf = img
     stride = w * ch
     raw = bytearray()
     for y in range(h):
@@ -203,6 +321,20 @@ def encode_png(img: Image, filter_type: int = 0) -> bytes:
             raw += line
         else:
             raise ValueError(f"unknown PNG filter {filter_type}")
+    return bytes(raw)
+
+
+def encode_png(img: Image, filter_type: int = 0) -> bytes:
+    """Encode to PNG with a single scanline filter type (0-4) on every row.
+
+    Filter 0 is the deterministic default; the other filters exist so tests
+    exercise every _unfilter branch against a reference pattern."""
+    w, h, ch, buf = img
+    if ch not in _CHANNELS_CT:
+        raise ValueError(f"unsupported channel count {ch}")
+    if len(buf) != w * h * ch:
+        raise ValueError("buffer length != w*h*c")
+    raw = _filter_rows(img, filter_type)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -216,7 +348,7 @@ def encode_png(img: Image, filter_type: int = 0) -> bytes:
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
     )
 
@@ -232,20 +364,33 @@ def crop(img: Image, box: tuple[int, int, int, int]) -> Image:
     cw, chh = x2 - x1, y2 - y1
     if cw <= 0 or chh <= 0:
         raise ValueError(f"empty crop box {box}")
-    out = bytearray(cw * chh * ch)
-    for y in range(max(y1, 0), min(y2, h)):
-        sx1, sx2 = max(x1, 0), min(x2, w)
-        if sx1 >= sx2:
-            continue
-        src = (y * w + sx1) * ch
-        dst = ((y - y1) * cw + (sx1 - x1)) * ch
-        out[dst : dst + (sx2 - sx1) * ch] = buf[src : src + (sx2 - sx1) * ch]
-    return (cw, chh, ch, bytes(out))
+    src = _arr(img)
+    out = np.zeros((chh, cw, ch), np.uint8)
+    sy1, sy2 = max(y1, 0), min(y2, h)
+    sx1, sx2 = max(x1, 0), min(x2, w)
+    if sy1 < sy2 and sx1 < sx2:
+        out[sy1 - y1 : sy2 - y1, sx1 - x1 : sx2 - x1] = src[sy1:sy2, sx1:sx2]
+    return (cw, chh, ch, out.tobytes())
 
 
 def resize_nearest(img: Image, dw: int, dh: int) -> Image:
-    """Deterministic center-sample nearest resize (see module docstring:
-    the interpolation-kernel substitution for PIL bicubic)."""
+    """Deterministic center-sample nearest resize — exact integer
+    arithmetic, identical on every platform. Kept as an explicit cheap
+    alternative; the reference-parity path is resize_bicubic."""
+    w, h, ch, buf = img
+    if dw <= 0 or dh <= 0:
+        raise ValueError(f"bad target size {dw}x{dh}")
+    if (dw, dh) == (w, h):
+        return img
+    src = _arr(img)
+    xmap = np.minimum((2 * np.arange(dw) + 1) * w // (2 * dw), w - 1)
+    ymap = np.minimum((2 * np.arange(dh) + 1) * h // (2 * dh), h - 1)
+    out = src[np.ix_(ymap, xmap)]
+    return (dw, dh, ch, out.tobytes())
+
+
+def _py_resize_nearest(img: Image, dw: int, dh: int) -> Image:
+    """Pure-Python oracle for resize_nearest (original round-3 lane)."""
     w, h, ch, buf = img
     if dw <= 0 or dh <= 0:
         raise ValueError(f"bad target size {dw}x{dh}")
@@ -264,6 +409,111 @@ def resize_nearest(img: Image, dw: int, dh: int) -> Image:
     return (dw, dh, ch, bytes(out))
 
 
+# --- PIL-parity bicubic resize ----------------------------------------------------
+
+# Pillow's 8-bit fixed-point coefficient precision (Resample.c semantics):
+# 32-bit accumulator, 8-bit samples, 2 guard bits.
+_PRECISION_BITS = 32 - 8 - 2
+_BICUBIC_SUPPORT = 2.0
+_BICUBIC_A = -0.5  # Keys kernel
+
+
+def _bicubic_weight(x: float) -> float:
+    """Keys cubic convolution kernel, a = -0.5 (the PIL BICUBIC filter)."""
+    a = _BICUBIC_A
+    if x < 0.0:
+        x = -x
+    if x < 1.0:
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    if x < 2.0:
+        return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+    return 0.0
+
+
+def _precompute_coeffs(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-pixel source window starts + fixed-point weights.
+
+    Bit-for-bit the PIL 8-bit algorithm: window [int(center-support+0.5),
+    int(center+support+0.5)) clamped to the image, float weights from the
+    Keys kernel at (x + xmin - center + 0.5)/filterscale, normalized to
+    sum 1, then quantized round-half-away-from-zero to 22-bit fixed point.
+    Returns (xmin[out_size] int64, kk[out_size, ksize] int64, zero-padded
+    past each window's tap count)."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = _BICUBIC_SUPPORT * filterscale
+    ksize = int(math.ceil(support)) * 2 + 1
+    xmins = np.empty(out_size, np.int64)
+    kk = np.zeros((out_size, ksize), np.int64)
+    one = 1 << _PRECISION_BITS
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = int(center - support + 0.5)
+        if xmin < 0:
+            xmin = 0
+        xmax = int(center + support + 0.5)
+        if xmax > in_size:
+            xmax = in_size
+        xmax -= xmin
+        ws = [
+            _bicubic_weight((x + xmin - center + 0.5) / filterscale)
+            for x in range(xmax)
+        ]
+        total = sum(ws)
+        for x in range(xmax):
+            wgt = ws[x] / total if total != 0.0 else 0.0
+            # C-cast truncation after ±0.5 = round half away from zero
+            kk[xx, x] = int(wgt * one - 0.5) if wgt < 0 else int(wgt * one + 0.5)
+        xmins[xx] = xmin
+    return xmins, kk
+
+
+def _resample_axis(arr: np.ndarray, out_size: int, axis: int) -> np.ndarray:
+    """One separable resample pass along ``axis`` of an (h, w, ch) uint8
+    array; output is quantized to uint8 (PIL quantizes BETWEEN passes).
+
+    int32 accumulators are safe by the same argument as PIL's C path:
+    normalized bicubic weights have |sum| ≤ ~1.4, so the accumulator stays
+    under 255·1.4·2^22 + 2^21 < 2^31. The horizontal pass transposes to
+    row-major gathers (column fancy-indexing is ~3× slower)."""
+    transposed = axis == 1
+    if transposed:
+        arr = np.ascontiguousarray(arr.transpose(1, 0, 2))
+    in_size = arr.shape[0]
+    xmins, kk = _precompute_coeffs(in_size, out_size)
+    kk = kk.astype(np.int32)
+    src = arr.astype(np.int32)
+    acc = np.full((out_size,) + arr.shape[1:], 1 << (_PRECISION_BITS - 1), np.int32)
+    for t in range(kk.shape[1]):
+        idx = np.minimum(xmins + t, in_size - 1)  # kk is 0 past each window
+        acc += src[idx] * kk[:, t][:, None, None]
+    # clip8: arithmetic shift then clamp — negative accumulators floor to 0,
+    # >= 1<<(PRECISION+8) saturates to 255
+    out = np.clip(acc >> _PRECISION_BITS, 0, 255).astype(np.uint8)
+    if transposed:
+        out = np.ascontiguousarray(out.transpose(1, 0, 2))
+    return out
+
+
+def resize_bicubic(img: Image, dw: int, dh: int) -> Image:
+    """PIL-parity bicubic resize (image_process.py:60-63; also the filter
+    inside ImageOps.pad, proc.py:386-388): separable two-pass fixed-point
+    resample, horizontal first, intermediate quantized to uint8 — the exact
+    value pipeline of PIL's 8-bit path. A pass whose size is unchanged is
+    skipped (PIL's need_horizontal/need_vertical)."""
+    w, h, ch, _buf = img
+    if dw <= 0 or dh <= 0:
+        raise ValueError(f"bad target size {dw}x{dh}")
+    if (dw, dh) == (w, h):
+        return img
+    arr = _arr(img)
+    if dw != w:
+        arr = _resample_axis(arr, dw, axis=1)
+    if dh != h:
+        arr = _resample_axis(arr, dh, axis=0)
+    return (dw, dh, ch, arr.tobytes())
+
+
 def new_image(w: int, h: int, ch: int, color: tuple[int, ...]) -> Image:
     if len(color) != ch:
         raise ValueError(f"color arity {len(color)} != channels {ch}")
@@ -272,6 +522,19 @@ def new_image(w: int, h: int, ch: int, color: tuple[int, ...]) -> Image:
 
 def paste(dst: Image, src: Image, x: int, y: int) -> Image:
     """PIL Image.paste at (x, y); source must fit."""
+    dw, dh, dch, dbuf = dst
+    sw, sh, sch, sbuf = src
+    if dch != sch:
+        raise ValueError("channel mismatch in paste")
+    if x < 0 or y < 0 or x + sw > dw or y + sh > dh:
+        raise ValueError("paste outside canvas")
+    out = _arr(dst).copy()
+    out[y : y + sh, x : x + sw] = _arr(src)
+    return (dw, dh, dch, out.tobytes())
+
+
+def _py_paste(dst: Image, src: Image, x: int, y: int) -> Image:
+    """Pure-Python oracle for paste (original round-3 lane)."""
     dw, dh, dch, dbuf = dst
     sw, sh, sch, sbuf = src
     if dch != sch:
@@ -310,12 +573,13 @@ def pad(
     centering: tuple[float, float] = (0.5, 0.5),
 ) -> Image:
     """ImageOps.pad parity (image_process.py:386-388 global view): contain
-    within ``size`` preserving aspect, paste centered on a ``color``
-    canvas. Offset rounding matches PIL (builtin round)."""
+    within ``size`` preserving aspect (BICUBIC, like PIL's default inside
+    pad), paste centered on a ``color`` canvas. Offset rounding matches
+    PIL (builtin round)."""
     w, h, ch, _ = img
     tw, th = size
     cw, chh = contain_size(w, h, tw, th)
-    resized = resize_nearest(img, cw, chh)
+    resized = resize_bicubic(img, cw, chh)
     if (cw, chh) == (tw, th):
         return resized
     canvas = new_image(tw, th, ch, color)
@@ -334,24 +598,51 @@ def exif_transpose(img: Image, orientation: int) -> Image:
         return img
     if orientation not in range(2, 9):
         raise ValueError(f"bad EXIF orientation {orientation}")
+    a = _arr(img)
+    if orientation == 2:   # mirror horizontal
+        out = a[:, ::-1]
+    elif orientation == 3:  # rotate 180
+        out = a[::-1, ::-1]
+    elif orientation == 4:  # mirror vertical
+        out = a[::-1]
+    elif orientation == 5:  # transpose (mirror + rot270)
+        out = a.transpose(1, 0, 2)
+    elif orientation == 6:  # rotate 90 CW
+        out = a.transpose(1, 0, 2)[:, ::-1]
+    elif orientation == 7:  # transverse (mirror + rot90)
+        out = a.transpose(1, 0, 2)[::-1, ::-1]
+    else:                   # 8: rotate 270 CW
+        out = a.transpose(1, 0, 2)[::-1]
+    swap = orientation in (5, 6, 7, 8)
+    ow, oh = (h, w) if swap else (w, h)
+    return (ow, oh, ch, np.ascontiguousarray(out).tobytes())
+
+
+def _py_exif_transpose(img: Image, orientation: int) -> Image:
+    """Pure-Python oracle for exif_transpose (original round-3 lane)."""
+    w, h, ch, buf = img
+    if orientation in (1, 0):
+        return img
+    if orientation not in range(2, 9):
+        raise ValueError(f"bad EXIF orientation {orientation}")
     swap = orientation in (5, 6, 7, 8)
     ow, oh = (h, w) if swap else (w, h)
     out = bytearray(ow * oh * ch)
     for y in range(h):
         for x in range(w):
-            if orientation == 2:   # mirror horizontal
+            if orientation == 2:
                 dx, dy = w - 1 - x, y
-            elif orientation == 3:  # rotate 180
+            elif orientation == 3:
                 dx, dy = w - 1 - x, h - 1 - y
-            elif orientation == 4:  # mirror vertical
+            elif orientation == 4:
                 dx, dy = x, h - 1 - y
-            elif orientation == 5:  # transpose (mirror + rot270)
+            elif orientation == 5:
                 dx, dy = y, x
-            elif orientation == 6:  # rotate 90 CW
+            elif orientation == 6:
                 dx, dy = h - 1 - y, x
-            elif orientation == 7:  # transverse (mirror + rot90)
+            elif orientation == 7:
                 dx, dy = h - 1 - y, w - 1 - x
-            else:                   # 8: rotate 270 CW
+            else:
                 dx, dy = y, w - 1 - x
             s = (y * w + x) * ch
             d = (dy * ow + dx) * ch
@@ -364,12 +655,13 @@ def exif_transpose(img: Image, orientation: int) -> Image:
 
 def dynamic_tiles(img: Image, nw: int, nh: int, image_size: int) -> list[Image]:
     """dynamic_preprocess crop loop (image_process.py:44-83): resize to
-    (nw*image_size, nh*image_size), then crop row-major image_size tiles.
-    The (nw, nh) plan comes from kernels.tiling.tile_plan — the same argmin
-    the relational tile_boxes query proves against the oracle."""
+    (nw*image_size, nh*image_size) with PIL-parity BICUBIC (the reference's
+    interpolation, image_process.py:60-63), then crop row-major image_size
+    tiles. The (nw, nh) plan comes from kernels.tiling.tile_plan — the same
+    argmin the relational tile_boxes query proves against the oracle."""
     from deepseek_ocr_spark.kernels.tiling import tile_boxes
 
-    resized = resize_nearest(img, nw * image_size, nh * image_size)
+    resized = resize_bicubic(img, nw * image_size, nh * image_size)
     # grid arithmetic lives ONCE, in tiling.tile_boxes (the same boxes the
     # oracle-checked relational tile_boxes query derives)
     return [crop(resized, box) for box in tile_boxes(nw, nh, image_size)]
@@ -383,9 +675,25 @@ def to_tensor_normalized(
     """ImageTransform analog (image_process.py:93-107, O-15): ToTensor
     (uint8 → float in [0,1], CHW layout) + Normalize((x - mean) / std).
     Exact arithmetic: x/255 is correctly-rounded IEEE division and the
-    mean/std ops are single IEEE ops, so values are bit-reproducible —
-    the deterministic contract a distributed engine needs from its
-    preprocessing (same bytes → same floats on every executor)."""
+    mean/std ops are single IEEE ops (identical elementwise in numpy), so
+    values are bit-reproducible — the deterministic contract a distributed
+    engine needs from its preprocessing."""
+    w, h, ch, buf = img
+    if len(mean) != ch or len(std) != ch:
+        raise ValueError(f"mean/std arity != channels {ch}")
+    a = _arr(img).astype(np.float64) / 255.0
+    m = np.asarray(mean, np.float64)
+    sd = np.asarray(std, np.float64)
+    chw = np.transpose((a - m) / sd, (2, 0, 1))
+    return chw.tolist()
+
+
+def _py_to_tensor_normalized(
+    img: Image,
+    mean: tuple[float, ...] = (0.5, 0.5, 0.5),
+    std: tuple[float, ...] = (0.5, 0.5, 0.5),
+) -> list[list[list[float]]]:
+    """Pure-Python oracle for to_tensor_normalized (original round-3 lane)."""
     w, h, ch, buf = img
     if len(mean) != ch or len(std) != ch:
         raise ValueError(f"mean/std arity != channels {ch}")

@@ -30,6 +30,93 @@ def px(img, x, y):
     return tuple(buf[o : o + ch])
 
 
+# --- independent reference bicubic (the spec, scalar transcription) --------------
+# Computed from the interpolation formula + PIL's published fixed-point
+# pipeline (Keys kernel a=-0.5, windows rounded at int(center±support+0.5),
+# normalized weights quantized round-half-away to 22-bit fixed point,
+# horizontal pass quantized to uint8 before vertical, accumulator seeded
+# with 2^21, arithmetic shift, clamp). NEVER calls into the module under
+# test — this is the yardstick the numpy lane is measured against.
+
+_PREC = 22
+
+
+def _ref_weight(x):
+    a = -0.5
+    x = abs(x)
+    if x < 1.0:
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+    if x < 2.0:
+        return (((x - 5.0) * x + 8.0) * x - 4.0) * a
+    return 0.0
+
+
+def _ref_coeffs(in_size, out_size):
+    scale = in_size / out_size
+    fs = max(scale, 1.0)
+    support = 2.0 * fs
+    out = []
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        ws = [_ref_weight((x - center + 0.5) / fs) for x in range(xmin, xmax)]
+        t = sum(ws)
+        kk = []
+        for w in ws:
+            v = (w / t if t != 0.0 else 0.0) * (1 << _PREC)
+            kk.append(int(v + 0.5) if v >= 0 else int(v - 0.5))
+        out.append((xmin, kk))
+    return out
+
+
+def _ref_clip8(acc):
+    v = acc >> _PREC
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def ref_resize_bicubic(img, dw, dh):
+    w, h, ch, buf = img
+    grid = [[px(img, x, y) for x in range(w)] for y in range(h)]
+    if dw != w:  # horizontal pass
+        cs = _ref_coeffs(w, dw)
+        grid = [
+            [
+                tuple(
+                    _ref_clip8(
+                        (1 << (_PREC - 1))
+                        + sum(k * row[xmin + t][c] for t, k in enumerate(kk))
+                    )
+                    for c in range(ch)
+                )
+                for xmin, kk in cs
+            ]
+            for row in grid
+        ]
+        w = dw
+    if dh != h:  # vertical pass
+        cs = _ref_coeffs(h, dh)
+        grid = [
+            [
+                tuple(
+                    _ref_clip8(
+                        (1 << (_PREC - 1))
+                        + sum(k * grid[ymin + t][x][c] for t, k in enumerate(kk))
+                    )
+                    for c in range(ch)
+                )
+                for x in range(w)
+            ]
+            for ymin, kk in cs
+        ]
+        h = dh
+    flat = bytearray()
+    for row in grid:
+        for p in row:
+            flat += bytes(p)
+    return (dw, dh, ch, bytes(flat))
+
+
 # --- codec ----------------------------------------------------------------------
 
 
@@ -149,7 +236,7 @@ def test_pad_global_view_geometry_and_fill():
     fill = (pixels.PAD_FILL,) * 3
     assert px(out, 0, 0) == fill and px(out, 63, y0 - 1) == fill
     assert px(out, 0, y0 + 26) == fill and px(out, 63, 63) == fill
-    resized = pixels.resize_nearest(img, cw, ch)
+    resized = ref_resize_bicubic(img, cw, ch)
     for x, y in [(0, 0), (31, 13), (63, 25)]:
         assert px(out, x, y0 + y) == px(resized, x, y)
 
@@ -157,7 +244,7 @@ def test_pad_global_view_geometry_and_fill():
 def test_pad_exact_fit_no_canvas():
     img = gradient(50, 50)
     out = pixels.pad(img, (64, 64), (127, 127, 127))
-    assert out == pixels.resize_nearest(img, 64, 64)
+    assert out == ref_resize_bicubic(img, 64, 64)
 
 
 @pytest.mark.parametrize("orientation", range(1, 9))
@@ -194,9 +281,9 @@ def test_exif_transpose_involutions():
 
 
 def test_dynamic_tiles_match_grid_and_pixels():
-    """Tile pixels must equal the resized image sampled through the
-    row-major tile grid — expected values computed from the gradient
-    formula, independent of crop()."""
+    """Tile pixels must equal the bicubic-resized image sampled through the
+    row-major tile grid — expected values computed by the independent
+    reference transcription, never by the module's own resize/crop."""
     sz = 32
     img = gradient(130, 60)
     nw, nh = tile_plan(130, 60, True, image_size=sz)
@@ -204,15 +291,115 @@ def test_dynamic_tiles_match_grid_and_pixels():
     tiles = pixels.dynamic_tiles(img, nw, nh, sz)
     assert len(tiles) == nw * nh
     boxes = tile_boxes(nw, nh, sz)
-    dw, dh = nw * sz, nh * sz
+    resized = ref_resize_bicubic(img, nw * sz, nh * sz)
     for (x1, y1, _x2, _y2), tile in zip(boxes, tiles):
         assert tile[:3] == (sz, sz, 3)
         for tx, ty in [(0, 0), (sz // 2, sz // 3), (sz - 1, sz - 1)]:
-            sx = min(129, (2 * (x1 + tx) + 1) * 130 // (2 * dw))
-            sy = min(59, (2 * (y1 + ty) + 1) * 60 // (2 * dh))
-            expected = ((sx * 7 + sy * 13) % 256, (sx * 3 + sy * 5) % 256,
-                        (sx + sy) % 256)
-            assert px(tile, tx, ty) == expected
+            assert px(tile, tx, ty) == px(resized, x1 + tx, y1 + ty)
+
+
+@pytest.mark.parametrize(
+    "w,h,dw,dh",
+    [
+        (4, 4, 8, 8),      # pure upscale (filterscale pinned at 1)
+        (13, 7, 5, 9),     # downscale x / upscale y in one call
+        (130, 60, 96, 32), # both downscale, non-integer ratios
+        (1, 1, 3, 3),      # degenerate source
+        (9, 5, 1, 1),      # collapse to a point
+        (10, 10, 10, 4),   # vertical-only pass (horizontal skipped)
+        (10, 10, 4, 10),   # horizontal-only pass
+    ],
+)
+def test_resize_bicubic_matches_reference_formula(w, h, dw, dh):
+    """The numpy bicubic lane must be byte-identical to the scalar
+    transcription of the interpolation formula (ref_resize_bicubic above)."""
+    img = gradient(w, h)
+    assert pixels.resize_bicubic(img, dw, dh) == ref_resize_bicubic(img, dw, dh)
+
+
+def test_resize_bicubic_preserves_constant_and_identity():
+    const = pixels.new_image(9, 6, 3, (77, 12, 200))
+    for dw, dh in [(3, 2), (20, 15), (9, 11)]:
+        out = pixels.resize_bicubic(const, dw, dh)
+        assert out[:3] == (dw, dh, 3)
+        assert set(out[3][0::3]) == {77}
+        assert set(out[3][1::3]) == {12}
+        assert set(out[3][2::3]) == {200}
+    img = gradient(7, 5)
+    assert pixels.resize_bicubic(img, 7, 5) is img
+
+
+def test_resize_bicubic_overshoot_is_clamped():
+    """Keys a=-0.5 overshoots at step edges; the fixed-point clip8 must
+    clamp to [0, 255] — a hard black/white edge upscaled stays in range
+    and the overshoot saturates instead of wrapping."""
+    w = 8
+    buf = bytes([0] * (w // 2) * 3 + [255] * (w // 2) * 3)
+    img = (w, 1, 3, buf)
+    out = pixels.resize_bicubic(img, 24, 1)
+    vals = list(out[3][0::3])
+    assert min(vals) == 0 and max(vals) == 255  # clamped, not wrapped
+    assert vals == list(ref_resize_bicubic(img, 24, 1)[3][0::3])
+
+
+# --- numpy lane == pure-Python oracle lane ---------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_filter_lanes_byte_equal(filter_type, ch):
+    img = gradient(17, 9, ch)
+    assert pixels._filter_rows(img, filter_type) == pixels._py_filter_rows(
+        img, filter_type
+    )
+    raw = pixels._py_filter_rows(img, filter_type)
+    assert bytes(pixels._unfilter(raw, 17, 9, ch)) == bytes(
+        pixels._py_unfilter(raw, 17, 9, ch)
+    )
+
+
+def test_geometry_lanes_byte_equal():
+    img = gradient(19, 11, 3)
+    assert pixels.resize_nearest(img, 7, 23) == pixels._py_resize_nearest(img, 7, 23)
+    for o in range(2, 9):
+        assert pixels.exif_transpose(img, o) == pixels._py_exif_transpose(img, o)
+    canvas = pixels.new_image(40, 30, 3, (5, 6, 7))
+    assert pixels.paste(canvas, img, 11, 13) == pixels._py_paste(canvas, img, 11, 13)
+    assert pixels.to_tensor_normalized(img) == pixels._py_to_tensor_normalized(img)
+
+
+def test_lanes_byte_equal_hypothesis():
+    """Property: numpy and pure-Python lanes agree on random images for
+    every filter type (both directions) and nearest resize."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 10),
+        h=st.integers(1, 10),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        ft=st.integers(0, 4),
+        dw=st.integers(1, 12),
+        dh=st.integers(1, 12),
+        data=st.data(),
+    )
+    def prop(w, h, ch, ft, dw, dh, data):
+        buf = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)
+            )
+        )
+        img = (w, h, ch, buf)
+        assert pixels._filter_rows(img, ft) == pixels._py_filter_rows(img, ft)
+        raw = pixels._py_filter_rows(img, ft)
+        assert bytes(pixels._unfilter(raw, w, h, ch)) == bytes(
+            pixels._py_unfilter(raw, w, h, ch)
+        )
+        assert pixels.resize_nearest(img, dw, dh) == pixels._py_resize_nearest(
+            img, dw, dh
+        )
+
+    prop()
 
 
 def test_to_tensor_normalized():
