@@ -13,9 +13,12 @@ Three tiers:
 2. ``decode_image_meta`` — the oracle-checkable plumbing exerciser: fake
    dims from the payload md5 (pure hash arithmetic ⇒ exact DuckDB oracle),
    proving schema/batching/partitioning end-to-end.
-3. ``_real_decode`` — PIXEL decode stays stubbed behind ``_HAS_CODECS``
-   (no PIL/cv2/ffmpeg in this container); the decoder is injectable so the
-   codec-present path is testable as an interface.
+3. ``_real_decode`` — PIXEL decode: PNG native (stdlib kernel); JPEG/GIF
+   behind the PIL codec gate (``codecs_available``), raising a clear
+   NotImplementedError in this codec-less container; the decoder is
+   injectable so the codec-present path is testable as an interface, and
+   tests/test_jpeg_codec.py exercises the real lane on codec-present
+   images (self-skips here, same style as the Iceberg jar gate).
 """
 
 from __future__ import annotations
@@ -29,24 +32,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# PNG pixel decode is NATIVE (kernels/pixels.py, pure stdlib zlib); the
-# flag below gates only the formats that need external codecs (JPEG/GIF
-# entropy decode, video) — swap it on a cluster image with PIL/cv2/ffmpeg.
-_HAS_CODECS = False
+# PNG pixel decode is NATIVE (kernels/pixels.py, pure stdlib zlib). Other
+# formats (JPEG/GIF entropy decode, video frames) need a native codec:
+# _real_decode uses PIL when importable; tests/test_jpeg_codec.py exercises
+# that lane on codec-present images and self-skips here (gate style of
+# test_iceberg). Format matrix: PNG = native pixels; JPEG/GIF/BMP =
+# header metadata native (sniff_image_meta) + pixels via PIL gate; video =
+# metadata/frame-plan only (ffmpeg gate, out of sandbox scope).
+
+
+def codecs_available() -> bool:
+    """True when a native image codec (PIL) is importable — gates the
+    non-PNG PIXEL lane only (PNG and header-level metadata never need it)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def _real_decode(data: bytes) -> tuple[int, int, int]:
-    """Real pixel decode: PNG via the stdlib kernel; other formats
-    codec-gated (metadata for those still comes from sniff_image_meta)."""
+    """Real pixel decode: PNG via the stdlib kernel; other formats via PIL
+    when present, else a clear NotImplementedError (metadata for those
+    still comes from sniff_image_meta)."""
     from deepseek_ocr_spark.kernels import pixels
 
     if data[:8] == pixels.PNG_SIG:
         w, h, c, _buf = pixels.decode_png(data)
         return w, h, c
-    raise NotImplementedError(
-        "non-PNG pixel decode requires PIL/cv2 — not available in this "
-        "sandbox; swap _HAS_CODECS when running on a cluster image with codecs"
-    )
+    try:
+        from PIL import Image as _PILImage
+    except ImportError as e:
+        raise NotImplementedError(
+            "non-PNG pixel decode requires a native codec (PIL/cv2) — not "
+            "available in this sandbox; the codec-present lane "
+            "(tests/test_jpeg_codec.py) exercises this path"
+        ) from e
+    import io
+
+    with _PILImage.open(io.BytesIO(bytes(data))) as im:
+        return im.width, im.height, len(im.getbands())
 
 
 def _fake_decode(data: bytes) -> tuple[int, int, int]:
@@ -238,9 +264,13 @@ def decode_image_meta(docs: DataFrame, decoder=None) -> DataFrame:
     payload column (the text bytes stand in for image bytes).
 
     ``decoder`` injects the codec (tests exercise the codec-present
-    interface with it); default follows the ``_HAS_CODECS`` gate."""
+    interface with it). The DEFAULT is always ``_fake_decode``: this
+    query's oracle is the md5-dims SQL, and the payloads here are text
+    bytes standing in for images — switching to ``_real_decode`` on a
+    codec-present image would silently break oracle parity. Real decode is
+    an explicit opt-in (``decoder=_real_decode``)."""
     if decoder is None:
-        decoder = _real_decode if _HAS_CODECS else _fake_decode
+        decoder = _fake_decode
     payloads = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return payloads.mapInPandas(_make_decode_batches(decoder), DECODE_SCHEMA)
 

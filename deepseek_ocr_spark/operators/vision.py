@@ -153,19 +153,40 @@ def global_views(
     return src.mapInPandas(_view_batches(base_size), GLOBAL_VIEW_SCHEMA)
 
 
-REGION_CROPS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("region_ix", T.IntegerType()),
-        T.StructField("crop_png", T.BinaryType()),
-    ]
-)
+def encode_jpeg(img, quality: int = 95) -> bytes:
+    """JPEG-encode an Image tuple via the PIL codec gate — the reference
+    writes region crops as JPEG (pdf.py:183-190); this container has no
+    JPEG entropy coder, so the call raises a clear NotImplementedError
+    here and works unchanged on a codec-present image
+    (tests/test_jpeg_codec.py exercises it; gate style of test_iceberg)."""
+    try:
+        from PIL import Image as _PILImage
+    except ImportError as e:
+        raise NotImplementedError(
+            "JPEG encode requires a native codec (PIL) — not available in "
+            "this sandbox; region crops default to lossless PNG here"
+        ) from e
+    import io
+
+    w, h, ch, buf = img
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}.get(ch)
+    if mode is None:
+        raise ValueError(f"unsupported channel count {ch} for JPEG")
+    pim = _PILImage.frombytes(mode, (w, h), bytes(buf))
+    if mode == "RGBA":
+        pim = pim.convert("RGB")
+    out = io.BytesIO()
+    pim.save(out, "JPEG", quality=quality)
+    return out.getvalue()
 
 
-def _region_batches():
+def _region_batches(fmt: str = "png"):
+    encode = pixels.encode_png if fmt == "png" else encode_jpeg
+    col = f"crop_{fmt}"
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"doc_id": [], "region_ix": [], "crop_png": []}
+            rows = {"doc_id": [], "region_ix": [], col: []}
             for doc_id, data, rix, x1, y1, x2, y2 in zip(
                 pdf["doc_id"], pdf["png"], pdf["region_ix"],
                 pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
@@ -182,7 +203,7 @@ def _region_batches():
                     continue
                 rows["doc_id"].append(int(doc_id))
                 rows["region_ix"].append(int(rix))
-                rows["crop_png"].append(pixels.encode_png(c))
+                rows[col].append(encode(c))
             yield pd.DataFrame(rows) if rows["doc_id"] else pd.DataFrame(
                 {k: pd.Series([], dtype=object) for k in rows}
             )
@@ -190,11 +211,22 @@ def _region_batches():
     return gen
 
 
-def region_crops(regions: DataFrame) -> DataFrame:
+def region_crops(regions: DataFrame, fmt: str = "png") -> DataFrame:
     """(doc_id, png, region_ix, x1, y1, x2, y2) → real cropped region bytes
-    (O-6, run_dpsk_ocr_image.py:107-108; PNG out, see module docstring).
-    Input shape = the pixel boxes pipeline/metrics.py derives joined back
-    onto the page image column."""
+    (O-6, run_dpsk_ocr_image.py:107-108). Default PNG (lossless, native
+    here — the cropped PIXELS are the contract); ``fmt="jpeg"`` emits the
+    reference's actual sink format behind the PIL codec gate (column
+    ``crop_jpeg``). Input shape = the pixel boxes pipeline/metrics.py
+    derives joined back onto the page image column."""
+    if fmt not in ("png", "jpeg"):
+        raise ValueError(f"fmt must be 'png' or 'jpeg', got {fmt!r}")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("region_ix", T.IntegerType()),
+            T.StructField(f"crop_{fmt}", T.BinaryType()),
+        ]
+    )
     return regions.select(
         "doc_id", "png", "region_ix", "x1", "y1", "x2", "y2"
-    ).mapInPandas(_region_batches(), REGION_CROPS_SCHEMA)
+    ).mapInPandas(_region_batches(fmt), schema)

@@ -81,9 +81,9 @@ def test_image_meta_spark(spark):
 
 
 def test_decode_injectable_codec_interface(spark):
-    """The codec-present path (_HAS_CODECS=True on a cluster image) is the
-    same mapInPandas plumbing with a different decoder — exercised here by
-    injecting one, so the interface can't rot while stubbed."""
+    """The codec-present path (decoder=_real_decode on a cluster image) is
+    the same mapInPandas plumbing with a different decoder — exercised here
+    by injecting one, so the interface can't rot while gated."""
     docs = spark.createDataFrame(
         [(1, "abc"), (2, "defgh")], "doc_id long, text string"
     )
@@ -132,6 +132,5 @@ def test_real_decode_png_native(spark):
     from tests.test_pixels import gradient
 
     assert _real_decode(pixels.encode_png(gradient(30, 20))) == (30, 20, 3)
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        _real_decode(make_jpeg(10, 10))
+    # the non-PNG side of the gate is covered both ways in
+    # tests/test_jpeg_codec.py (codec-present lane + sandbox raise)
