@@ -513,6 +513,12 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: dedup.dedup_components(_docs(s, d)),
         dedup.dedup_components_sql(),
     ),
+    # same labeling via the O(log n)-round large/small-star alternation —
+    # the deep-graph (10^3-hop chain) path, proven against the SAME oracle
+    "dedup_components_logstar": (
+        lambda s, d: dedup.dedup_components_logstar(_docs(s, d)),
+        dedup.dedup_components_sql(),
+    ),
     "dedup_minhash_verified": (
         lambda s, d: dedup.dedup_minhash_verified(_docs(s, d)),
         dedup.dedup_minhash_verified_sql(),
@@ -650,6 +656,8 @@ _DRIVER_HEAD: list[str] = [
     "doc_fingerprint",
     "multimodal_decode",
     "extract_pipeline",
+    # (c) new in round 4 — never driver-checked yet
+    "dedup_components_logstar",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

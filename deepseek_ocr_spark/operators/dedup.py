@@ -591,6 +591,114 @@ def components_from_edges(
     return labels
 
 
+def components_large_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 50,
+    return_rounds: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """(doc_id, component_id) in O(log n) ROUNDS — the deep-graph
+    counterpart to components_from_edges.
+
+    Min-label propagation needs one round per hop of component DIAMETER:
+    fine for the small dense near-dup clusters dedup_components labels, but
+    a 10^3-hop chain (link graphs, co-citation chains) would need 10^3
+    Spark jobs. This is the alternating large-star / small-star algorithm
+    from the public MapReduce-CC literature (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round shrinks every
+    component toward a star on its minimum node, converging in O(log² n)
+    rounds worst case, ~log₂(diameter) alternations in practice
+    (tests/test_components.py pins a 1000-hop chain to ≤ 25 rounds).
+
+    Per alternation, only aggregates and joins on the current edge set —
+    no per-node Python. The edge set is localCheckpoint'ed EVERY round:
+    one alternation references its input ~6× (sym twice, the large table
+    three times), so an unbroken logical plan grows exponentially and
+    OOMs the planner near round 10 — per-round truncation keeps the plan
+    constant-size, and with O(log n) total rounds the extra
+    materialization is cheap. Exhausting max_iter with the edge set still
+    moving RAISES (same loud-non-convergence contract)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # canonical directed edges (u > v), self-loops dropped
+    e = (
+        edges.select(F.col("src").cast("long").alias("a"),
+                     F.col("dst").cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .persist()
+    )
+    n_old = e.count()
+    converged = False
+    rounds = 0
+    for it in range(max_iter):
+        # --- large-star: every neighbor LARGER than u links to the min of
+        # Γ(u) ∪ {u}; all adjacency is examined, so symmetrize first
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: u and its SMALLER neighbors all link to the min
+        # of that down-neighborhood (edges are already directed u > v)
+        smins = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("x"), F.col("mn"))
+            .where(F.col("x") != F.col("mn"))
+            .select(F.col("x").alias("u"), F.col("mn").alias("v"))
+            .unionByName(smins.select("u", F.col("mn").alias("v")))
+            .distinct()
+        )
+        small = small.localCheckpoint()  # eager: truncate lineage NOW
+        rounds = it + 1
+        # fixed point = SET equality (both distinct): same cardinality and
+        # nothing new — a one-sided except would miss a strict shrink
+        n_new = small.count()
+        stable = n_new == n_old and small.exceptAll(e).limit(1).count() == 0
+        e.unpersist()
+        e = small
+        n_old = n_new
+        if stable:
+            converged = True
+            break
+    if not converged:
+        e.unpersist()
+        raise RuntimeError(
+            f"components_large_star did not converge in max_iter={max_iter} "
+            f"alternations — raise max_iter (expected ~log2 of component "
+            f"diameter)"
+        )
+    labels = (
+        nodes.select("doc_id")
+        .join(e.select(F.col("u").alias("doc_id"), F.col("v").alias("_c")),
+              "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_c"), F.col("doc_id")).alias("component_id"))
+    )
+    return (labels, rounds) if return_rounds else labels
+
+
+def dedup_components_logstar(
+    docs: DataFrame, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """dedup_components computed by the O(log n)-round large/small-star
+    path instead of min-label propagation — same labeling contract
+    (component_id = min reachable doc_id), same DuckDB oracle
+    (dedup_components_sql); registered separately so the deep-graph
+    algorithm is driver-proven, not just unit-tested."""
+    edges = dedup_minhash_pairs(docs, n_hashes, n_bands)
+    return components_large_star(
+        docs.select("doc_id"),
+        edges.select(F.col("a_doc_id").alias("src"), F.col("b_doc_id").alias("dst")),
+    )
+
+
 def dedup_components_sql(
     table: str = "documents", n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
 ) -> str:
