@@ -111,6 +111,8 @@ def main() -> None:
         "inverted_index",
         "dedup_incremental",
         "similarity_ann_recall",
+        # round 4: the O(log n)-round components path
+        "dedup_components_logstar",
     ]
     reg = registry()
     for name in bench_queries:

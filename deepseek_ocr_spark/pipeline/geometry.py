@@ -8,9 +8,15 @@ unfilled circles, on a fixed (-15, 15)² canvas, saved as ``geo.jpg``.
 
 Substitutions (documented):
 - matplotlib/JPEG → SVG binary column (no raster libs; same geometry);
-- ``eval()`` → the strict-JSON subset via ``from_json`` (same policy as the
-  O-31 coords parser — eval of untrusted model output is an RCE, the
-  grammar accepted is identical);
+- ``eval()`` → ``from_json`` with a Python-literal normalization fallback
+  (same policy as the O-31 coords parser — eval of untrusted model output
+  is an RCE). Double-quoted JSON parses directly; the reference's typical
+  ``eval()`` input — a single-quoted Python dict, possibly with ``None`` —
+  is normalized by swapping quotes and mapping the bare literals, still
+  entirely in Catalyst. Caveat of the subset: an apostrophe INSIDE a label
+  string defeats the quote swap and that row degrades to dropped (the
+  reference would eval it; labels in the reference grammar are single
+  letters, so this is theoretical);
 - per-element try/except skips → regex-match gates (malformed segment or
   point strings drop silently, exactly the reference's behavior).
 
@@ -91,10 +97,25 @@ def _circle_elem(center: Column, radius: Column) -> Column:
     ).otherwise(F.lit(""))
 
 
+def _pyliteral_to_json(text: Column) -> Column:
+    """Single-quoted Python dict → the JSON subset: quote swap + bare
+    literal mapping (None/True/False). String-level, Catalyst-only."""
+    out = F.regexp_replace(text, "'", '"')
+    out = F.regexp_replace(out, r"\bNone\b", "null")
+    out = F.regexp_replace(out, r"\bTrue\b", "true")
+    return F.regexp_replace(out, r"\bFalse\b", "false")
+
+
 def geometry_svg_col(text: Column) -> Column:
     """Geometry-dict text → SVG string, NULL when the text is not a
-    geometry output (no 'line_type', unparseable JSON)."""
-    g = F.from_json(text, GEO_JSON_SCHEMA)
+    geometry output (no 'line_type', unparseable as JSON or as a
+    single-quoted Python literal)."""
+    g_json = F.from_json(text, GEO_JSON_SCHEMA)
+    g_py = F.from_json(_pyliteral_to_json(text), GEO_JSON_SCHEMA)
+    # JSON first; the Python-literal lane only engages when the strict
+    # parse misses the gate (the reference accepts both spellings via eval)
+    ok = g_json["Line"]["line_type"].isNotNull() & g_json["Line"]["line"].isNotNull()
+    g = F.when(ok, g_json).otherwise(g_py)
     lines = F.concat_ws("", F.transform(g["Line"]["line"], _seg_elem))
     labels = F.concat_ws("", F.transform(g["Line"]["line_endpoint"], _label_elem))
     circles = F.concat_ws(

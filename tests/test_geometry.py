@@ -49,3 +49,25 @@ def test_geometry_svg(spark):
     # only the geometry row emits a figure (reference gate: line_type present)
     assert set(got) == {"u://geo"}
     assert got["u://geo"] == EXPECTED
+
+
+def test_geometry_python_literal_dict(spark):
+    """The reference eval()s its geometry payload (run_dpsk_ocr_image.py:253)
+    and so accepts single-quoted Python dicts — repr(GEO) must produce the
+    SAME figure bytes as json.dumps(GEO), and Python None literals map to
+    null (a None radius drops that circle, not the row)."""
+    geo_none = {
+        "Line": {"line": ["(0, 0) -- (1, 1)"], "line_type": ["-"],
+                 "line_endpoint": []},
+        "Circle": {"circle_center": ["O: (1, -2)"], "radius": None},
+    }
+    rows = [
+        ("u://py", repr(GEO)),            # single-quoted Python spelling
+        ("u://json", json.dumps(GEO)),
+        ("u://pynone", repr(geo_none)),   # bare None inside the literal
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["url"]: bytes(r["svg"]).decode() for r in geometry_figures(df).collect()}
+    assert got["u://py"] == got["u://json"] == EXPECTED
+    assert "(1, -2)" not in got["u://pynone"]  # None radius → circle skipped
+    assert '<line x1="0" y1="0" x2="1" y2="1"' in got["u://pynone"]
