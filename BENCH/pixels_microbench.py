@@ -19,16 +19,7 @@ import time
 
 from deepseek_ocr_spark.kernels import pixels
 from deepseek_ocr_spark.kernels.tiling import tile_boxes, tile_plan
-
-
-def gradient(w, h, ch=3):
-    buf = bytearray()
-    for y in range(h):
-        row = bytearray()
-        for x in range(w):
-            row += bytes(((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y) % 256))
-        buf += row
-    return (w, h, ch, bytes(buf))
+from tests.test_pixels import gradient  # the canonical fixture formula
 
 
 def py_crop(img, box):

@@ -90,18 +90,29 @@ def raster_dims(w_pt: float, h_pt: float, dpi: int = DPI) -> tuple[int, int]:
     return (max(1, int(w_pt * dpi / 72 + 0.5)), max(1, int(h_pt * dpi / 72 + 0.5)))
 
 
-def rasterize_page(data: bytes, page_no: int, dpi: int = DPI) -> Image:
+def rasterize_page(
+    data: bytes,
+    page_no: int,
+    dpi: int = DPI,
+    sizes: list[tuple[float, float]] | None = None,
+) -> Image:
     """Pixmap of one page. With an injected rasterizer: the real render.
     Sandbox default: a deterministic synthetic pixmap at the REAL
     MediaBox×dpi geometry, pixel pattern seeded by a CRC of the document
-    bytes + page number (same input → same bytes on every executor)."""
+    bytes + page number (same input → same bytes on every executor).
+    ``sizes`` lets a caller looping over pages pass page_sizes(data) once
+    instead of re-parsing the whole document per page."""
     if _rasterizer is not None:
         return _rasterizer(data, page_no, dpi)
-    sizes = page_sizes(data)
+    if sizes is None:
+        sizes = page_sizes(data)
     if not 0 <= page_no < len(sizes):
         raise ValueError(f"page {page_no} out of range ({len(sizes)} pages)")
     w, h = raster_dims(*sizes[page_no], dpi)
-    seed = zlib.crc32(data) ^ (page_no * 0x9E3779B1)
+    # mask to 32 bits: numpy 2 (NEP 50) raises OverflowError when adding an
+    # out-of-uint32-range Python int to a uint32 array (page_no >= 2 pushes
+    # the XOR past 32 bits); low-byte arithmetic below is unaffected
+    seed = (zlib.crc32(data) ^ (page_no * 0x9E3779B1)) & 0xFFFFFFFF
     ys = np.arange(h, dtype=np.uint32)[:, None]
     xs = np.arange(w, dtype=np.uint32)[None, :]
     planes = [

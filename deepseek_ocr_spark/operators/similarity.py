@@ -397,9 +397,14 @@ def ann_ivf_topk_indexed(
     filter becomes partition pruning); here the analog is an eagerly-built
     cached table, so query-time plans READ the index instead of paying the
     corpus×centroid build inline on every query (r3 bench measured the
-    inline recompute: 1.58s vs the promised ~2× drop)."""
-    assignments = ivf_assignments(emb, n_centroids, dim).persist()
-    assignments.count()  # build the index NOW; queries below hit the cache
+    inline recompute: 1.58s vs the promised ~2× drop).
+
+    Materialization is an EAGER localCheckpoint, not persist(): Dataset
+    cache entries are only freed by explicit unpersist (repeated registry/
+    bench invocations would accumulate them), while a checkpointed RDD is
+    reclaimed by the ContextCleaner once the returned DataFrame goes out
+    of scope."""
+    assignments = ivf_assignments(emb, n_centroids, dim).localCheckpoint()
     return ann_ivf_topk(
         emb, query_vec_id, k, n_centroids, n_probe, dim, assignments=assignments
     )
@@ -432,8 +437,8 @@ def ann_recall(
         cosine_topk(emb, query_vec_id, k, query_vec=qvec).select("vec_id")
     )
     # the ivf leg reads a materialized index, same as ann_ivf_topk_indexed
-    assignments = ivf_assignments(emb, dim=dim).persist()
-    assignments.count()
+    # (eager localCheckpoint: GC-reclaimable, no cache-entry leak per call)
+    assignments = ivf_assignments(emb, dim=dim).localCheckpoint()
     variants = [
         ("ivf", ann_ivf_topk(emb, query_vec_id, k, dim=dim, query_vec=qvec,
                              assignments=assignments)),

@@ -199,11 +199,16 @@ def _region_batches(fmt: str = "png"):
                 try:
                     img = pixels.decode_png(bytes(data))
                     c = pixels.crop(img, (int(x1), int(y1), int(x2), int(y2)))
+                    # encode INSIDE the guard: encode_jpeg rejects channel
+                    # counts JPEG can't carry (a gray+alpha PNG is a valid
+                    # decode) — that drops the row, not the task. A missing
+                    # codec (NotImplementedError) still fails loudly.
+                    encoded = encode(c)
                 except ValueError:
                     continue
                 rows["doc_id"].append(int(doc_id))
                 rows["region_ix"].append(int(rix))
-                rows[col].append(encode(c))
+                rows[col].append(encoded)
             yield pd.DataFrame(rows) if rows["doc_id"] else pd.DataFrame(
                 {k: pd.Series([], dtype=object) for k in rows}
             )

@@ -13,10 +13,11 @@ Substitutions (documented):
   is an RCE). Double-quoted JSON parses directly; the reference's typical
   ``eval()`` input — a single-quoted Python dict, possibly with ``None`` —
   is normalized by swapping quotes and mapping the bare literals, still
-  entirely in Catalyst. Caveat of the subset: an apostrophe INSIDE a label
-  string defeats the quote swap and that row degrades to dropped (the
-  reference would eval it; labels in the reference grammar are single
-  letters, so this is theoretical);
+  entirely in Catalyst. Caveats of the subset (both theoretical — labels
+  in the reference grammar are single letters): an apostrophe INSIDE a
+  label string defeats the quote swap and that row degrades to dropped,
+  and a label that IS the word None/True/False gets literal-mapped after
+  the quote swap (the reference's eval would keep it as a string);
 - per-element try/except skips → regex-match gates (malformed segment or
   point strings drop silently, exactly the reference's behavior).
 

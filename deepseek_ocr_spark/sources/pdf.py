@@ -103,15 +103,20 @@ def _route_pages(data: bytes | None, ocr_route: bool) -> list[tuple[str, tuple[i
     pages = extract_pdf_text(raw)
     if not ocr_route or all(pages):
         return [(t, None) for t in pages]
-    from deepseek_ocr_spark.kernels.pdfraster import ocr_page_text, rasterize_page
+    from deepseek_ocr_spark.kernels.pdfraster import (
+        ocr_page_text,
+        page_sizes,
+        rasterize_page,
+    )
 
+    sizes = page_sizes(raw)  # parse ONCE; a 500-page scan is not 500 parses
     out: list[tuple[str, tuple[int, int] | None]] = []
     for ix, text in enumerate(pages):
         if text:
             out.append((text, None))
             continue
         try:
-            img = rasterize_page(raw, ix)
+            img = rasterize_page(raw, ix, sizes=sizes)
         except Exception:
             out.append(("", None))  # unroutable page degrades, never raises
             continue

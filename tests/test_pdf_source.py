@@ -135,7 +135,6 @@ def test_pdf_inline_image_data_skipped():
 
 def test_pdf_unterminated_inline_image_degrades():
     content = b"BT (kept) Tj ET BI /W 1 ID \x00\x01 no terminator"
-    pdf = make_simple_pdf(["placeholder"])  # shape only; build raw below
     pdf = (
         b"%PDF-1.4\n"
         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"

@@ -72,11 +72,9 @@ def test_ivf_registry_query_reads_materialized_index(spark):
     measured plan, index served from the cached table."""
     q = QUERIES["similarity_ann_ivf"](spark, SF_DIR)
     plan = _plan(q)
-    assert "InMemoryTableScan" in plan, "materialized assignments not read from cache"
-    # toString prints the cached relation's BUILD plan inline (nested under
-    # InMemoryRelation) — the corpus×centroid join may only appear there,
-    # never in the query-time section above it
-    query_side = plan.split("InMemoryRelation", 1)[0]
-    assert "BroadcastNestedLoopJoin" not in query_side, (
+    # the index is an eagerly-checkpointed RDD: the query plan SCANS it
+    # (ExistingRDD) and contains no corpus×centroid build join at all
+    assert "ExistingRDD" in plan, "materialized assignments not read from checkpoint"
+    assert "BroadcastNestedLoopJoin" not in plan, (
         "query-time plan still builds the index inline"
     )
