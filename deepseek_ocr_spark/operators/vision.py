@@ -38,6 +38,15 @@ from pyspark.sql import types as T
 
 from deepseek_ocr_spark.config import BASE_SIZE, IMAGE_SIZE, MAX_CROPS, MIN_CROPS
 from deepseek_ocr_spark.kernels import pixels
+
+
+def _is_null_image(img) -> bool:
+    """O-20 null-image guard (reference model.py:341-342, 391): an
+    all-zero pixel buffer carries no signal and SKIPS the vision path —
+    the per-image analog of `sum(pixel_values) == 0 → no vision tower`."""
+    import numpy as np
+
+    return not np.frombuffer(img[3], np.uint8).any()
 from deepseek_ocr_spark.kernels.tiling import tile_plan
 
 GUNDAM_TILES_SCHEMA = T.StructType(
@@ -66,6 +75,8 @@ def _tile_batches(image_size: int, min_crops: int, max_crops: int):
                     img = pixels.decode_png(bytes(data))
                 except ValueError:  # hostile-payload rule
                     continue
+                if _is_null_image(img):
+                    continue  # O-20: sum(patches)==0 → no-crops branch
                 w, h = img[0], img[1]
                 nw, nh = tile_plan(
                     w, h, True, image_size, min_crops, max_crops
@@ -127,6 +138,8 @@ def _view_batches(base_size: int):
                     img = pixels.decode_png(bytes(data))
                 except ValueError:
                     continue
+                if _is_null_image(img):
+                    continue  # O-20: sum(pixel_values)==0 → skip vision
                 rows["doc_id"].append(int(doc_id))
                 rows["img_width"].append(img[0])
                 rows["img_height"].append(img[1])

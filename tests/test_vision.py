@@ -99,6 +99,20 @@ def test_gundam_tiles_real_config_size(spark):
     assert last == expected[-1]
 
 
+def test_null_image_guard_skips_vision_path(spark):
+    """O-20 (model.py:341-342, 391): an ALL-ZERO pixel buffer skips the
+    vision stages entirely — no tiles, no global view — while an image
+    with a single nonzero byte still flows."""
+    black = pixels.new_image(130, 70, 3, (0, 0, 0))
+    almost = (130, 70, 3, b"\x01" + black[3][1:])
+    df = spark.createDataFrame(
+        [(1, pixels.encode_png(black)), (2, pixels.encode_png(almost))],
+        "doc_id LONG, png BINARY",
+    )
+    assert {r["doc_id"] for r in gundam_tiles(df, image_size=SZ).collect()} == {2}
+    assert {r["doc_id"] for r in global_views(df, base_size=SZ).collect()} == {2}
+
+
 def test_vision_null_payloads_dropped_not_crashed(spark):
     """NULL payloads (join misses) must drop rows, not kill the task."""
     df = spark.createDataFrame(
