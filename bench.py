@@ -111,8 +111,10 @@ def main() -> None:
         "inverted_index",
         "dedup_incremental",
         "similarity_ann_recall",
-        # round 4: the O(log n)-round components path
+        # round 4: the O(log n)-round components path + quality/sketch adds
         "dedup_components_logstar",
+        "repetition_signals",
+        "bloom_membership",
     ]
     reg = registry()
     for name in bench_queries:

@@ -578,6 +578,18 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: textops.doc_fingerprint(_docs(s, d)),
         textops.doc_fingerprint_sql(),
     ),
+    # Gopher-style repetition filters (dup-line fraction, top-bigram
+    # fraction) — the shuffle formulation, linear in document length
+    "repetition_signals": (
+        lambda s, d: textops.repetition_signals(_docs(s, d)),
+        textops.REPETITION_SIGNALS_SQL,
+    ),
+    # Bloom seen-set sketch: build over half the corpus, probe all docs;
+    # false positives are part of the oracle-tracked observable
+    "bloom_membership": (
+        lambda s, d: corpus_stats.bloom_membership(_docs(s, d)),
+        corpus_stats.bloom_membership_sql(),
+    ),
     # corpus statistics: oracle-tracked HLL sketch quality, tf-idf term
     # ranking, inverted-index build
     # low-cardinality column → exercises the small-range linear-counting
@@ -658,6 +670,8 @@ _DRIVER_HEAD: list[str] = [
     "extract_pipeline",
     # (c) new in round 4 — never driver-checked yet
     "dedup_components_logstar",
+    "repetition_signals",
+    "bloom_membership",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

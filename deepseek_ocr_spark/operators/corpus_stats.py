@@ -236,3 +236,98 @@ idx AS (
 SELECT token, CAST(len(postings) AS BIGINT) AS df, postings
 FROM idx WHERE len(postings) >= {min_df}
 """
+
+
+# --- Bloom filter (seen-set sketch) ----------------------------------------------
+
+BLOOM_BITS = 4096  # sized for the sf0.01 correctness corpus (~1k insertions
+# -> ~20% fill, FP ~0.2%); production sizes m ~ 10-15 bits/key per day-shard
+BLOOM_SLOTS = BLOOM_BITS // 32  # filter stored as 16 x 32-bit words
+# 32-bit words on purpose: DuckDB's checked arithmetic rejects
+# 1::BIGINT << 63 (sign-bit overflow); shifts <= 31 are exact and
+# identical in both engines
+BLOOM_K = 4  # hash functions = disjoint md5 hex windows
+
+
+def bloom_membership(docs: DataFrame, corpus_mod: int = 2) -> DataFrame:
+    """(doc_id, in_bloom, actually_in) — deterministic Bloom-filter
+    membership: build a BLOOM_BITS-bit filter over the 'corpus' half
+    (doc_id % corpus_mod == 0) of the documents' text, probe EVERY doc.
+    The false-positive behavior is part of the observable (in_bloom may be
+    true where actually_in is false, never the reverse) — like the HLL,
+    the sketch itself is oracle-tracked, not just its plumbing.
+
+    Hashes are BLOOM_K disjoint 8-hex-char windows of md5(text) mod
+    BLOOM_BITS (same ('0x' || hex)::BIGINT trick as stratified_sample, so
+    DuckDB reproduces the exact bits). Scale shape: the filter BUILD is
+    one explode + one 8-row bit_or aggregation (at 100 TB: the
+    materialized daily seen-set, bytes-sized); the PROBE joins the 8-row
+    filter BROADCAST onto map-side probe positions — no corpus shuffle.
+    NULL text excluded on both sides (no md5 to hash)."""
+    base = docs.filter(F.col("text").isNotNull())
+    pos_arr = F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.col("text")), 1 + 8 * i, 8), 16, 10)
+                .cast("long") % BLOOM_BITS
+            )
+            for i in range(BLOOM_K)
+        ]
+    )
+    corpus_pos = (
+        base.filter(F.col("doc_id") % corpus_mod == 0)
+        .select(F.explode(pos_arr).alias("p"))
+    )
+    bloom = (
+        corpus_pos.select(
+            (F.col("p") / 32).cast("int").alias("slot"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("m"),
+        )
+        .groupBy("slot")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probes = base.select(
+        "doc_id",
+        (F.col("doc_id") % corpus_mod == 0).alias("actually_in"),
+        F.explode(pos_arr).alias("p"),
+    ).select(
+        "doc_id",
+        "actually_in",
+        (F.col("p") / 32).cast("int").alias("slot"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("m"),
+    )
+    hits = probes.join(F.broadcast(bloom), "slot", "left").select(
+        "doc_id",
+        "actually_in",
+        (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0).alias("hit"),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.bool_and("actually_in").alias("actually_in"),
+        F.bool_and("hit").alias("in_bloom"),
+    ).select("doc_id", "in_bloom", "actually_in")
+
+
+def bloom_membership_sql(table: str = "documents", corpus_mod: int = 2) -> str:
+    pos_union = "\n    UNION ALL ".join(
+        f"SELECT doc_id, CAST(('0x' || substr(md5(text), {1 + 8 * i}, 8)) AS BIGINT)"
+        f" % {BLOOM_BITS} AS p FROM base"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM {table} WHERE text IS NOT NULL),
+pos AS (
+    {pos_union}
+),
+bloom AS (
+  SELECT CAST(p // 32 AS INT) AS slot,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos WHERE doc_id % {corpus_mod} = 0 GROUP BY 1
+),
+hits AS (
+  SELECT pos.doc_id, (pos.doc_id % {corpus_mod} = 0) AS actually_in,
+         (coalesce(b.bits, 0) & (CAST(1 AS BIGINT) << CAST(pos.p % 32 AS INT))) != 0 AS hit
+  FROM pos LEFT JOIN bloom b ON CAST(pos.p // 32 AS INT) = b.slot
+)
+SELECT doc_id, bool_and(hit) AS in_bloom, bool_and(actually_in) AS actually_in
+FROM hits GROUP BY doc_id
+"""

@@ -421,6 +421,95 @@ FROM documents
 """
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    public filter rules every webtext pipeline runs): per doc,
+    (n_lines, dup_line_frac, top_bigram_frac).
+
+    - dup_line_frac: 1 − distinct_lines/lines — MAP-SIDE array arithmetic
+      (split + array_distinct on the row), zero shuffle.
+    - top_bigram_frac: occurrences of the most frequent word bigram over
+      total bigrams — explode → (doc_id, bigram) count → per-doc max/sum.
+      Deliberately the SHUFFLE formulation, not a per-row
+      transform(array_distinct, …) scan: that is O(distinct · n) inside
+      one row and dies on a long adversarial document, while the
+      aggregation is linear and spill-safe at any document length.
+    Docs with <2 tokens have no bigrams → frac 0.0 (left join + coalesce).
+    NULL text excluded on both sides. Floats are single round(expr, 4)
+    terms (hash-parity rule)."""
+    base = docs.filter(F.col("text").isNotNull())
+    ls = F.split(F.col("text"), "\n")
+    linem = base.select(
+        "doc_id",
+        F.size(ls).alias("n_lines"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(ls)).cast("double") / F.size(ls),
+            4,
+        ).alias("dup_line_frac"),
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select("doc_id", F.explode(bigrams).alias("b"))
+    cnt = bg.groupBy("doc_id", "b").count()
+    top = cnt.groupBy("doc_id").agg(
+        F.round(
+            F.max("count").cast("double") / F.sum("count").cast("double"), 4
+        ).alias("top_bigram_frac")
+    )
+    return (
+        linem.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+REPETITION_SIGNALS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls
+  FROM documents WHERE text IS NOT NULL
+),
+linem AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         round(1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 4)
+           AS dup_line_frac
+  FROM base
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM base
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+  FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+top AS (
+  SELECT doc_id,
+         round(CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE), 4)
+           AS top_bigram_frac
+  FROM cnt GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+       coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM linem l LEFT JOIN top t USING (doc_id)
+"""
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """md5 over the 8 lexicographically-smallest distinct 3-gram shingles —
     an order-invariant rolling-hash-style document fingerprint.

@@ -42,6 +42,8 @@ EDGE_QUERIES = [
     "median_chars_by_lang",
     "langid_heuristic",
     "token_count",
+    "repetition_signals",
+    "bloom_membership",
 ]
 
 QUERIES = entry_mod.queries()
