@@ -422,6 +422,20 @@ JOIN sizes sb ON i.b_doc_id = sb.doc_id
 """
 
 
+def band_table(
+    docs: DataFrame, n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, band) — the exploded MinHash-LSH band table. At 100 TB
+    this is the MATERIALIZED seen-set the steady-state crawl maintains
+    (written bucketed by band); dedup_incremental and the streaming
+    near-dup probe both consume it."""
+    sig = minhash_signatures(docs, n_hashes, n_bands)
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[f"band{b}" for b in range(n_bands)])).alias("band"),
+    )
+
+
 def dedup_incremental(
     docs: DataFrame,
     mod: int = 10,
@@ -441,16 +455,10 @@ def dedup_incremental(
     inc = docs.filter(F.col("doc_id") % mod == 0)
     base = docs.filter(F.col("doc_id") % mod != 0)
 
-    def _bands(d: DataFrame) -> DataFrame:
-        sig = minhash_signatures(d, n_hashes, n_bands)
-        return sig.select(
-            "doc_id",
-            F.explode(F.array(*[f"band{b}" for b in range(n_bands)])).alias("band"),
-        )
-
     seen = (
-        _bands(inc)
-        .join(_bands(base).select("band").distinct(), "band", "left_semi")
+        band_table(inc, n_hashes, n_bands)
+        .join(band_table(base, n_hashes, n_bands).select("band").distinct(),
+              "band", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("_seen", F.lit(True))

@@ -196,6 +196,45 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert got.filter(F.col("url").endswith("#dup")).count() == 0  # first wins
 
 
+def test_streaming_neardup_matches_batch_incremental(spark, tmp_path):
+    """Stream near-dup probe vs a materialized corpus band table: the
+    surviving docs across micro-batches equal the batch
+    dedup_incremental already_seen=false set on the same split."""
+    from deepseek_ocr_spark.operators.dedup import band_table, dedup_incremental
+    from deepseek_ocr_spark.streaming.neardup_stream import (
+        stream_neardup_to_parquet,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.expr("timestamp'2025-01-01' + make_interval(0,0,0,0,0,0,doc_id)").alias(
+            "warc_ts"
+        ),
+        "text",
+    )
+    inc = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+
+    in_dir, out_dir, ck, bands = (
+        str(tmp_path / d) for d in ("in", "out", "ck", "bands")
+    )
+    band_table(base).write.parquet(bands)
+    import os
+
+    os.makedirs(in_dir)
+    # split the increment across two micro-batch files
+    inc.filter("doc_id % 20 = 0").coalesce(1).write.parquet(f"{in_dir}/b=0")
+    inc.filter("doc_id % 20 != 0").coalesce(1).write.parquet(f"{in_dir}/b=1")
+
+    q = stream_neardup_to_parquet(spark, in_dir + "/*", bands, out_dir, ck)
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    flags = dedup_incremental(docs.select("doc_id", "text"))
+    want = {r["doc_id"] for r in flags.filter("NOT already_seen").collect()}
+    assert got == want and len(got) > 0
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join == the equivalent batch join (availableNow
     over a static directory; watermark large enough that nothing drops)."""
