@@ -100,6 +100,31 @@ def test_large_star_matches_min_label_on_mixed_graph(spark):
     assert got[0] == 0 and got[17] == 17  # singletons (self-loop dropped)
 
 
+def test_large_star_matches_min_label_random_graphs(spark):
+    """Property: on seeded random graphs the two algorithms agree
+    label-for-label (seeds fixed — Spark-session tests can't afford
+    hypothesis shrinking, but the graphs cover dense/sparse/self-loop
+    shapes beyond the hand-built case)."""
+    import random
+
+    for seed, n, m in [(1, 15, 10), (2, 15, 30), (3, 12, 5)]:
+        rng = random.Random(seed)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id BIGINT")
+        edge_rows = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = spark.createDataFrame(edge_rows, "src BIGINT, dst BIGINT")
+        a = sorted(
+            (r["doc_id"], r["component_id"])
+            for r in components_large_star(nodes, edges).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["component_id"])
+            for r in components_from_edges(nodes, edges, max_iter=40).collect()
+        )
+        assert a == b, f"seed={seed}"
+
+
 def test_large_star_non_convergence_raises(spark):
     nodes, edges = _chain(spark, 300)
     with pytest.raises(RuntimeError, match="did not converge"):

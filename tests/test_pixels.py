@@ -317,6 +317,31 @@ def test_resize_bicubic_matches_reference_formula(w, h, dw, dh):
     assert pixels.resize_bicubic(img, dw, dh) == ref_resize_bicubic(img, dw, dh)
 
 
+def test_resize_bicubic_fuzz_matches_reference():
+    """Property: RANDOM images and arbitrary scale pairs agree with the
+    scalar reference transcription byte-for-byte (the gradient cases
+    above can't hit every window-clamp and negative-lobe path)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        dw=st.integers(1, 14),
+        dh=st.integers(1, 14),
+        data=st.data(),
+    )
+    def prop(w, h, dw, dh, data):
+        buf = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                               max_size=w * h * 3))
+        )
+        img = (w, h, 3, buf)
+        assert pixels.resize_bicubic(img, dw, dh) == ref_resize_bicubic(img, dw, dh)
+
+    prop()
+
+
 def test_resize_bicubic_preserves_constant_and_identity():
     const = pixels.new_image(9, 6, 3, (77, 12, 200))
     for dw, dh in [(3, 2), (20, 15), (9, 11)]:
