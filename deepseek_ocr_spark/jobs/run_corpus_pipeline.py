@@ -13,6 +13,9 @@ Writes under --output:
                  (--with-components; iterative, off by default)
     stats/       one-row corpus stats: exact + HLL distinct texts with the
                  sketch's relative error, doc/kept counts
+    quality/     per-doc repetition signals (dup-line / top-bigram fracs)
+    bands/       the MinHash-LSH band table — the materialized seen-set the
+                 incremental/streaming near-dup probes consume
     index/tfidf/     top tf-idf terms per source
     index/postings/  inverted index (token → sorted doc_id posting list)
 
@@ -70,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
         "n_docs", F.lit(n_in)
     )
     hll.write.mode("overwrite").parquet(os.path.join(args.output, "stats"))
+
+    textops.repetition_signals(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "quality")
+    )
+    # the seen-set artifact the next day's incremental/streaming probes read
+    dedup.band_table(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "bands")
+    )
 
     corpus_stats.tfidf_top_terms(docs).write.mode("overwrite").parquet(
         os.path.join(args.output, "index", "tfidf")

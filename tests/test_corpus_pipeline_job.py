@@ -23,9 +23,14 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
     assert 0 < summary["docs_clean"] <= summary["docs_in"]
     assert summary["hll_rel_err"] < 0.1
 
-    for sink in ("clean", "stats", "index/tfidf", "index/postings"):
+    for sink in ("clean", "stats", "quality", "bands", "index/tfidf",
+                 "index/postings"):
         df = spark.read.parquet(os.path.join(out, sink))
         assert df.count() > 0, sink
+
+    # the bands sink is the seen-set the streaming near-dup probe consumes
+    bands = spark.read.parquet(os.path.join(out, "bands"))
+    assert set(bands.columns) == {"doc_id", "band"}
 
     # clean sink == the oracle-checked corpus_clean over the same input
     from deepseek_ocr_spark.operators import textops
