@@ -578,6 +578,12 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: textops.doc_fingerprint(_docs(s, d)),
         textops.doc_fingerprint_sql(),
     ),
+    # serving-layer sketch quality: approx_percentile must sit inside its
+    # own rank-error guarantee vs the exact ranked pass (oracle = all TRUE)
+    "quantiles_approx_quality": (
+        lambda s, d: textops.quantiles_approx_quality(_docs(s, d)),
+        textops.quantiles_approx_quality_sql(),
+    ),
     # Gopher-style repetition filters (dup-line fraction, top-bigram
     # fraction) — the shuffle formulation, linear in document length
     "repetition_signals": (
@@ -672,6 +678,7 @@ _DRIVER_HEAD: list[str] = [
     "dedup_components_logstar",
     "repetition_signals",
     "bloom_membership",
+    "quantiles_approx_quality",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

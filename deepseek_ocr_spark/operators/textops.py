@@ -421,6 +421,72 @@ FROM documents
 """
 
 
+def quantiles_approx_quality(
+    docs: DataFrame, accuracy: int = 100
+) -> DataFrame:
+    """(lang, p50_ok, p90_ok, p99_ok) — the SERVING-layer quantile check:
+    median/quantiles_by_lang document that ``approx_percentile`` (the
+    mergeable sketch) serves 10^12-row queries while the exact ranked pass
+    verifies it on samples. This query IS that verification, oracle-style:
+    each approx quantile must lie within the sketch's own rank-error
+    guarantee (±1/accuracy of the rank), checked against the exact ranked
+    values — so sketch QUALITY is driver-tracked, same pattern as
+    ann_recall. The oracle pins the guarantee as literal TRUEs: any Spark
+    approx value violating its bound hash-mismatches.
+
+    NULL n_chars excluded (same rule as the exact quantiles)."""
+    eps = 1.0 / accuracy
+    base = docs.filter(F.col("n_chars").isNotNull())
+    approx = base.groupBy("lang").agg(
+        F.percentile_approx("n_chars", [0.5, 0.9, 0.99], accuracy).alias("ap")
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = base.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n"),
+    )
+
+    def bound(q: float, lo: bool):
+        # exact value at the rank the sketch is allowed to drift to
+        # (clamped to [1, n]); floor for the low bound, ceil for the high
+        r = (F.lit(q) + F.lit(-eps if lo else eps)) * F.col("_n")
+        r = F.floor(r) if lo else F.ceil(r)
+        return F.greatest(F.lit(1), F.least(r, F.col("_n")))
+
+    bounds = ranked.groupBy("lang").agg(
+        *[
+            f.alias(n)
+            for q, ix, nm in [(0.5, 0, "p50"), (0.9, 1, "p90"), (0.99, 2, "p99")]
+            for f, n in [
+                (F.max(F.when(F.col("_rn") == bound(q, True), F.col("n_chars"))), f"{nm}_lo"),
+                (F.max(F.when(F.col("_rn") == bound(q, False), F.col("n_chars"))), f"{nm}_hi"),
+            ]
+        ]
+    )
+    j = approx.join(bounds, "lang")
+    out = j.select(
+        "lang",
+        *[
+            (
+                (F.col("ap")[ix] >= F.col(f"{nm}_lo"))
+                & (F.col("ap")[ix] <= F.col(f"{nm}_hi"))
+            ).alias(f"{nm}_ok")
+            for ix, nm in [(0, "p50"), (1, "p90"), (2, "p99")]
+        ],
+    )
+    return out
+
+
+def quantiles_approx_quality_sql(table: str = "documents") -> str:
+    """The guarantee itself is the oracle: every flag must be TRUE."""
+    return f"""
+SELECT lang, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM (SELECT DISTINCT lang FROM {table} WHERE n_chars IS NOT NULL)
+"""
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
     public filter rules every webtext pipeline runs): per doc,

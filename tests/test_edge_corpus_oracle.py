@@ -44,6 +44,7 @@ EDGE_QUERIES = [
     "token_count",
     "repetition_signals",
     "bloom_membership",
+    "quantiles_approx_quality",
 ]
 
 QUERIES = entry_mod.queries()
