@@ -401,7 +401,13 @@ def _bbox_span(label: str, bbox: str | None) -> str:
 def _truncate_tokens(text: str, max_tokens: int) -> tuple[str, bool]:
     """Generation-cap analog (max_tokens=8192, eval.py:30,41): truncate at a
     whitespace-token boundary; a capped page emits no EOS (like a vLLM
-    sequence that hit max_model_len)."""
+    sequence that hit max_model_len).
+
+    Fast path: str.split() counts exactly the tokens the scan counts
+    (maximal non-space runs), so an under-cap page — almost every page —
+    never takes the per-char walk."""
+    if len(text.split()) <= max_tokens:
+        return text, False
     n = 0
     for i, ch in enumerate(text):
         if ch.isspace():

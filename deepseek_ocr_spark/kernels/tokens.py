@@ -46,14 +46,32 @@ def num_vision_tokens(
     return global_tokens + local_tokens + 1
 
 
+# One token per alnum RUN or per non-alnum non-space CHAR. Exactly the
+# _py_num_text_tokens predicate set: CPython's sre \w is isalnum ∪ {_}
+# and \s is isspace (verified over every codepoint in
+# tests/test_tokens.py::test_token_regex_predicates_match_str_methods),
+# so [^\W_]+ = alnum run and [^\w\s]|_ = punctuation char — the regex
+# lane is ~8× the per-char loop and provably identical.
+import re as _re
+
+_TOKEN_RE = _re.compile(r"[^\W_]+|[^\w\s]|_")
+
+
 def num_text_tokens(text: str) -> int:
     """Deterministic text-token count for the compression-ratio metric
     (reference flag PRINT_NUM_VIS_TOKENS, config.py:15; ratio notion from
     the paper's optical-compression claim, R:37-38).
 
     No tokenizer in the sandbox → whitespace-split plus punctuation runs:
-    a stable BPE-ish proxy shared by oracle and engine.
-    """
+    a stable BPE-ish proxy shared by oracle and engine."""
+    if not text:
+        return 0
+    return len(_TOKEN_RE.findall(text))
+
+
+def _py_num_text_tokens(text: str) -> int:
+    """Per-char oracle lane for num_text_tokens (the original definition;
+    tests pin the regex lane equal on fixed + fuzzed inputs)."""
     if not text:
         return 0
     n = 0

@@ -35,3 +35,39 @@ def test_text_tokens_proxy():
     assert num_text_tokens("hello world") == 2
     assert num_text_tokens("a, b!") == 4  # a , b !
     assert num_text_tokens("x1y2") == 1
+    assert num_text_tokens("a_b") == 3  # underscore is punctuation, not \w
+
+
+def test_token_regex_predicates_match_str_methods():
+    """The regex token lane is exact ONLY because sre's \\w is
+    isalnum ∪ {_} and \\s is isspace — pin that over every codepoint a
+    corpus can contain (BMP + a supplementary sample) so a Python/Unicode
+    upgrade that shifts either predicate fails loudly here, not as a
+    silent token-count drift."""
+    import re
+
+    w, s = re.compile(r"\w"), re.compile(r"\s")
+    cps = list(range(0x10000)) + list(range(0x1F300, 0x1F400)) + [0x10FFFF]
+    for cp in cps:
+        ch = chr(cp)
+        assert (w.match(ch) is not None) == (ch.isalnum() or ch == "_"), hex(cp)
+        assert (s.match(ch) is not None) == ch.isspace(), hex(cp)
+
+
+def test_num_text_tokens_regex_equals_per_char_oracle():
+    from deepseek_ocr_spark.kernels.tokens import _py_num_text_tokens
+    from hypothesis import given, settings, strategies as st
+
+    fixed = [
+        "", " ", "a", "_", "a_b c!d", "你好, 世界", "é́ combininǵ mark",
+        "tab\tand\nnewline", "1 000 000", "a" * 500, ". , ; :" * 40,
+    ]
+    for t in fixed:
+        assert num_text_tokens(t) == _py_num_text_tokens(t), repr(t)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def prop(t):
+        assert num_text_tokens(t) == _py_num_text_tokens(t)
+
+    prop()
