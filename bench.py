@@ -115,6 +115,7 @@ def main() -> None:
         "dedup_components_logstar",
         "repetition_signals",
         "bloom_membership",
+        "dedup_lines_global",
     ]
     reg = registry()
     for name in bench_queries:

@@ -529,6 +529,12 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: dedup.dedup_incremental(_docs(s, d)),
         dedup.dedup_incremental_sql(),
     ),
+    # C4/RefinedWeb global line dedup: first occurrence wins corpus-wide,
+    # docs reassembled in order, blank lines bypass the window (skew + semantics)
+    "dedup_lines_global": (
+        lambda s, d: dedup.dedup_lines_global(_docs(s, d)),
+        dedup.dedup_lines_global_sql(),
+    ),
     "dedup_embedding_cosine": (
         lambda s, d: similarity.embedding_near_dup(_emb(s, d)),
         similarity.embedding_near_dup_sql(),
@@ -679,6 +685,7 @@ _DRIVER_HEAD: list[str] = [
     "repetition_signals",
     "bloom_membership",
     "quantiles_approx_quality",
+    "dedup_lines_global",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

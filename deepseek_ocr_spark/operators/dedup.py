@@ -728,3 +728,92 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN reach r ON d.doc_id = r.src
 GROUP BY d.doc_id
 """
+
+
+# --- global line-level dedup (C4 / RefinedWeb style) -----------------------------
+
+
+def dedup_lines_global(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, n_kept, n_dropped) — corpus-WIDE line deduplication:
+    every non-blank line survives only in its first occurrence (lowest
+    doc_id, then earliest position) and is dropped everywhere else; the
+    surviving lines reassemble each document in original order. The
+    C4/mC4/RefinedWeb cleaning step (Raffel et al. 2020 §2.2 dedup spans;
+    line-level variant) — boilerplate lines repeated across a crawl
+    (cookie banners, nav text) vanish corpus-wide in one pass.
+
+    Plan shape: ONE shuffle keyed by line content for the first-occurrence
+    window + one doc_id shuffle for reassembly. Blank lines bypass the
+    window entirely — not just for semantics (a paragraph break is not
+    boilerplate) but for SKEW: every blank line in the corpus would land
+    in one window partition; the split keeps the line key high-cardinality.
+    NULL text excluded (no lines to dedup); a document whose every line
+    was deduplicated away disappears from the output entirely (C4 drops
+    emptied docs), which the inner join on kept lines encodes."""
+    from pyspark.sql import Window
+
+    lines = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+    )
+    blank = F.trim(F.col("line")) == ""
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept_nonblank = (
+        lines.filter(~blank)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = kept_nonblank.unionByName(lines.filter(blank))
+    n_lines = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_all"))
+    out = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(n_lines, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            (F.col("_n_all") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+        )
+    )
+    return out
+
+
+def dedup_lines_global_sql(table: str = "documents") -> str:
+    return f"""
+WITH lines AS (
+  SELECT doc_id, g.i - 1 AS pos, ls[g.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        FROM {table} WHERE text IS NOT NULL)
+  CROSS JOIN unnest(generate_series(1, len(ls))) AS g(i)
+),
+nonblank AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines WHERE trim(line) != ''
+),
+kept AS (
+  SELECT doc_id, pos, line FROM nonblank WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM lines WHERE trim(line) = ''
+),
+counts AS (SELECT doc_id, count(*) AS n_all FROM lines GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(any_value(c.n_all) - count(*) AS BIGINT) AS n_dropped
+FROM kept k JOIN counts c ON k.doc_id = c.doc_id
+GROUP BY k.doc_id
+"""

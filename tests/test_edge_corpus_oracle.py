@@ -45,6 +45,7 @@ EDGE_QUERIES = [
     "repetition_signals",
     "bloom_membership",
     "quantiles_approx_quality",
+    "dedup_lines_global",
 ]
 
 QUERIES = entry_mod.queries()
