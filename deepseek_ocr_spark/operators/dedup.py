@@ -742,27 +742,33 @@ def dedup_lines_global(docs: DataFrame) -> DataFrame:
     line-level variant) — boilerplate lines repeated across a crawl
     (cookie banners, nav text) vanish corpus-wide in one pass.
 
-    Plan shape: ONE shuffle keyed by line content for the first-occurrence
-    window + one doc_id shuffle for reassembly. Blank lines bypass the
-    window entirely — not just for semantics (a paragraph break is not
-    boilerplate) but for SKEW: every blank line in the corpus would land
-    in one window partition; the split keeps the line key high-cardinality.
-    NULL text excluded (no lines to dedup); a document whose every line
-    was deduplicated away disappears from the output entirely (C4 drops
-    emptied docs), which the inner join on kept lines encodes."""
-    from pyspark.sql import Window
-
+    Plan shape: the first occurrence of a line is ``min(struct(doc_id,
+    pos))`` per line — a plain AGGREGATION with map-side partial combine,
+    deliberately NOT a row_number window: a viral boilerplate line (one
+    cookie banner repeated 10^9 times) would make the window sort one
+    entire partition, while the min-agg reduces it map-side to one row
+    per task before the shuffle. One line-key shuffle + one doc_id
+    shuffle for reassembly. Blank lines bypass dedup entirely (a
+    paragraph break is not boilerplate). NULL text excluded (no lines to
+    dedup); a document whose every line was deduplicated away disappears
+    from the output entirely (C4 drops emptied docs), which the inner
+    join on kept lines encodes. The DuckDB oracle keeps the row_number
+    formulation on purpose — two independent derivations of the same
+    survivor set."""
     lines = (
         docs.filter(F.col("text").isNotNull())
         .select("doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
     )
     blank = F.trim(F.col("line")) == ""
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
     kept_nonblank = (
         lines.filter(~blank)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy("line")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_first"))
+        .select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.pos").alias("pos"),
+            "line",
+        )
     )
     kept = kept_nonblank.unionByName(lines.filter(blank))
     n_lines = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_all"))
