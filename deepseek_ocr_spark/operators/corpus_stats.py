@@ -242,7 +242,7 @@ FROM idx WHERE len(postings) >= {min_df}
 
 BLOOM_BITS = 4096  # sized for the sf0.01 correctness corpus (~1k insertions
 # -> ~20% fill, FP ~0.2%); production sizes m ~ 10-15 bits/key per day-shard
-BLOOM_SLOTS = BLOOM_BITS // 32  # filter stored as 16 x 32-bit words
+BLOOM_SLOTS = BLOOM_BITS // 32  # 128 x 32-bit words (4096 bits)
 # 32-bit words on purpose: DuckDB's checked arithmetic rejects
 # 1::BIGINT << 63 (sign-bit overflow); shifts <= 31 are exact and
 # identical in both engines
@@ -260,8 +260,9 @@ def bloom_membership(docs: DataFrame, corpus_mod: int = 2) -> DataFrame:
     Hashes are BLOOM_K disjoint 8-hex-char windows of md5(text) mod
     BLOOM_BITS (same ('0x' || hex)::BIGINT trick as stratified_sample, so
     DuckDB reproduces the exact bits). Scale shape: the filter BUILD is
-    one explode + one 8-row bit_or aggregation (at 100 TB: the
-    materialized daily seen-set, bytes-sized); the PROBE joins the 8-row
+    one explode + one bit_or aggregation of at most BLOOM_SLOTS (128) word
+    rows (at 100 TB: the materialized daily seen-set, bytes-sized); the
+    PROBE joins that tiny
     filter BROADCAST onto map-side probe positions — no corpus shuffle.
     NULL text excluded on both sides (no md5 to hash)."""
     base = docs.filter(F.col("text").isNotNull())

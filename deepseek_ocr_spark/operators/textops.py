@@ -434,9 +434,12 @@ def quantiles_approx_quality(
     ann_recall. The oracle pins the guarantee as literal TRUEs: any Spark
     approx value violating its bound hash-mismatches.
 
-    NULL n_chars excluded (same rule as the exact quantiles)."""
+    NULL n_chars excluded (same rule as the exact quantiles); NULL lang
+    excluded too — the approx/bounds join on lang is null-rejecting in
+    Spark while a SQL GROUP BY keeps a NULL group, so the filter is the
+    only formulation both engines agree on."""
     eps = 1.0 / accuracy
-    base = docs.filter(F.col("n_chars").isNotNull())
+    base = docs.filter(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
     approx = base.groupBy("lang").agg(
         F.percentile_approx("n_chars", [0.5, 0.9, 0.99], accuracy).alias("ap")
     )
@@ -483,7 +486,8 @@ def quantiles_approx_quality_sql(table: str = "documents") -> str:
     """The guarantee itself is the oracle: every flag must be TRUE."""
     return f"""
 SELECT lang, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-FROM (SELECT DISTINCT lang FROM {table} WHERE n_chars IS NOT NULL)
+FROM (SELECT DISTINCT lang FROM {table}
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL)
 """
 
 
@@ -514,7 +518,12 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
             4,
         ).alias("dup_line_frac"),
     )
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+    # literal ' ' split, NO lower(): the repo-wide cross-engine tokenization
+    # rule — Java \s+ includes \x0B where DuckDB's RE2 \s does not, and JVM
+    # lower('İ') is 'i̇' (two codepoints) vs utf8proc's 'i'; either would
+    # silently diverge the bigram sets. Case-sensitive bigrams are a
+    # documented deviation from Gopher's casefold (parity wins).
+    toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -556,7 +565,7 @@ linem AS (
   FROM base
 ),
 toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM base
+  SELECT doc_id, string_split(text, ' ') AS t FROM base
 ),
 bg AS (
   SELECT doc_id, t[i] || ' ' || t[i + 1] AS b

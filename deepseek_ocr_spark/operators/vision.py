@@ -36,18 +36,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import numpy as np
+
 from deepseek_ocr_spark.config import BASE_SIZE, IMAGE_SIZE, MAX_CROPS, MIN_CROPS
 from deepseek_ocr_spark.kernels import pixels
+from deepseek_ocr_spark.kernels.tiling import tile_plan
 
 
 def _is_null_image(img) -> bool:
-    """O-20 null-image guard (reference model.py:341-342, 391): an
-    all-zero pixel buffer carries no signal and SKIPS the vision path —
-    the per-image analog of `sum(pixel_values) == 0 → no vision tower`."""
-    import numpy as np
-
+    """All-zero pixel buffer test (O-20 context, reference model.py:341-342,
+    391): the reference's `sum(pixel_values)==0 → skip vision tower` guards
+    zero-FILLED PADDING tensors — a real black page normalizes to -1 per
+    channel and never sums to zero, so the check never fires on content.
+    This Spark pipeline builds no padding tensors (rows either carry an
+    image or don't), so the faithful default is NO pixel-sum drop; stages
+    expose ``drop_null_images=True`` as an opt-in corpus-hygiene filter
+    for pipelines that want all-black scans (dead fax pages) skipped."""
     return not np.frombuffer(img[3], np.uint8).any()
-from deepseek_ocr_spark.kernels.tiling import tile_plan
 
 GUNDAM_TILES_SCHEMA = T.StructType(
     [
@@ -62,7 +67,9 @@ GUNDAM_TILES_SCHEMA = T.StructType(
 )
 
 
-def _tile_batches(image_size: int, min_crops: int, max_crops: int):
+def _tile_batches(
+    image_size: int, min_crops: int, max_crops: int, drop_null_images: bool = False
+):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
@@ -75,8 +82,8 @@ def _tile_batches(image_size: int, min_crops: int, max_crops: int):
                     img = pixels.decode_png(bytes(data))
                 except ValueError:  # hostile-payload rule
                     continue
-                if _is_null_image(img):
-                    continue  # O-20: sum(patches)==0 → no-crops branch
+                if drop_null_images and _is_null_image(img):
+                    continue  # opt-in all-black skip (see _is_null_image)
                 w, h = img[0], img[1]
                 nw, nh = tile_plan(
                     w, h, True, image_size, min_crops, max_crops
@@ -107,13 +114,17 @@ def gundam_tiles(
     image_size: int = IMAGE_SIZE,
     min_crops: int = MIN_CROPS,
     max_crops: int = MAX_CROPS,
+    drop_null_images: bool = False,
 ) -> DataFrame:
     """(doc_id, png) → one row per Gundam tile with REAL cropped pixel
     bytes (dynamic_preprocess, image_process.py:44-83). Pages at or under
-    image_size bypass cropping entirely (image_process.py:363-364)."""
+    image_size bypass cropping entirely (image_process.py:363-364).
+    ``drop_null_images=True`` opts in to skipping all-black pixmaps
+    (corpus hygiene; see _is_null_image for the reference semantics)."""
     src = images.select(F.col(id_col).alias("doc_id"), F.col(png_col).alias("png"))
     return src.mapInPandas(
-        _tile_batches(image_size, min_crops, max_crops), GUNDAM_TILES_SCHEMA
+        _tile_batches(image_size, min_crops, max_crops, drop_null_images),
+        GUNDAM_TILES_SCHEMA,
     )
 
 
@@ -127,7 +138,7 @@ GLOBAL_VIEW_SCHEMA = T.StructType(
 )
 
 
-def _view_batches(base_size: int):
+def _view_batches(base_size: int, drop_null_images: bool = False):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "img_width", "img_height", "view_png")}
@@ -138,8 +149,8 @@ def _view_batches(base_size: int):
                     img = pixels.decode_png(bytes(data))
                 except ValueError:
                     continue
-                if _is_null_image(img):
-                    continue  # O-20: sum(pixel_values)==0 → skip vision
+                if drop_null_images and _is_null_image(img):
+                    continue  # opt-in all-black skip (see _is_null_image)
                 rows["doc_id"].append(int(doc_id))
                 rows["img_width"].append(img[0])
                 rows["img_height"].append(img[1])
@@ -158,12 +169,16 @@ def global_views(
     id_col: str = "doc_id",
     png_col: str = "png",
     base_size: int = BASE_SIZE,
+    drop_null_images: bool = False,
 ) -> DataFrame:
     """(doc_id, png) → the padded square global view per page
     (ImageOps.pad, image_process.py:386-388): aspect-preserving contain +
-    centered paste on the normalization-mean gray canvas."""
+    centered paste on the normalization-mean gray canvas.
+    ``drop_null_images`` as in gundam_tiles."""
     src = images.select(F.col(id_col).alias("doc_id"), F.col(png_col).alias("png"))
-    return src.mapInPandas(_view_batches(base_size), GLOBAL_VIEW_SCHEMA)
+    return src.mapInPandas(
+        _view_batches(base_size, drop_null_images), GLOBAL_VIEW_SCHEMA
+    )
 
 
 def encode_jpeg(img, quality: int = 95) -> bytes:

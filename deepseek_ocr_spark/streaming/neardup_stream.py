@@ -17,6 +17,14 @@ bands and always survives; first-wins WITHIN the corpus, but docs inside
 the same micro-batch are not paired against each other (that is the
 nightly batch job's task — same division of labor as the reference
 pipeline's daily increment).
+
+Replay safety: each micro-batch writes to its own ``batch=<id>``
+subdirectory with overwrite mode, so a batch replayed after a crash
+between the parquet write and the streaming checkpoint commit simply
+overwrites its own output — effective exactly-once for downstream readers
+of the root path (who see batch= as a partition column). The distinct
+band set is computed and cached ONCE at stream start, not per trigger —
+re-scanning the 100 TB seen-set every micro-batch would dominate the job.
 """
 
 from __future__ import annotations
@@ -42,7 +50,9 @@ def neardup_filter_batch(
     n_bands: int = N_BANDS,
 ) -> DataFrame:
     """One micro-batch of docs → the subset with NO band collision against
-    the corpus band table (shared by the streaming sink and its test)."""
+    the corpus band table (shared by the streaming sink and its test).
+    Pass an already-distinct/cached band set from the caller when probing
+    repeatedly — this function distincts defensively but cannot cache."""
     seen = (
         band_table(batch, n_hashes, n_bands)
         .join(corpus_bands.select("band").distinct(), "band", "left_semi")
@@ -63,12 +73,17 @@ def stream_neardup_to_parquet(
     n_bands: int = N_BANDS,
 ):
     """File-source stream of (doc_id, warc_ts, text) parquet → near-dup-
-    filtered parquet appends. Returns the StreamingQuery."""
-    corpus_bands = spark.read.parquet(corpus_bands_path)
+    filtered parquet, one batch=<id> partition per trigger (idempotent
+    under replay). Returns the StreamingQuery."""
+    # distinct ONCE, cached: the static seen-set does not change per trigger
+    bands_distinct = spark.read.parquet(corpus_bands_path).select(
+        "band"
+    ).distinct().persist()
+    bands_distinct.count()
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
-        out = neardup_filter_batch(batch, corpus_bands, n_hashes, n_bands)
-        out.write.mode("append").parquet(output_dir)
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        out = neardup_filter_batch(batch, bands_distinct, n_hashes, n_bands)
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     src = (
         spark.readStream.schema(STREAM_DOCS_SCHEMA)

@@ -24,6 +24,9 @@ EDGE_ROWS = [
     # NULL measure: Spark sorts NULLS FIRST asc, DuckDB NULLS LAST — the
     # rank-based quantile/median queries must exclude it on both sides
     (11, "null metric text", "en", "src1", None),
+    # NULL group key: a Spark join on lang is null-rejecting while SQL
+    # GROUP BY keeps a NULL group — by-lang queries must pick one rule
+    (12, "null lang but countable text", None, "src0", 28),
 ]
 
 EDGE_QUERIES = [

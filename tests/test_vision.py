@@ -99,18 +99,30 @@ def test_gundam_tiles_real_config_size(spark):
     assert last == expected[-1]
 
 
-def test_null_image_guard_skips_vision_path(spark):
-    """O-20 (model.py:341-342, 391): an ALL-ZERO pixel buffer skips the
-    vision stages entirely — no tiles, no global view — while an image
-    with a single nonzero byte still flows."""
+def test_null_image_drop_is_opt_in(spark):
+    """Reference semantics (model.py:341-342, 391): sum(pixel_values)==0
+    fires only on zero-filled PADDING tensors — a real black page
+    normalizes to -1/channel — so by DEFAULT an all-black image is
+    processed like any other. drop_null_images=True opts in to the
+    corpus-hygiene skip."""
     black = pixels.new_image(130, 70, 3, (0, 0, 0))
     almost = (130, 70, 3, b"\x01" + black[3][1:])
     df = spark.createDataFrame(
         [(1, pixels.encode_png(black)), (2, pixels.encode_png(almost))],
         "doc_id LONG, png BINARY",
     )
-    assert {r["doc_id"] for r in gundam_tiles(df, image_size=SZ).collect()} == {2}
-    assert {r["doc_id"] for r in global_views(df, base_size=SZ).collect()} == {2}
+    # default: black pages flow through both stages
+    assert {r["doc_id"] for r in gundam_tiles(df, image_size=SZ).collect()} == {1, 2}
+    assert {r["doc_id"] for r in global_views(df, base_size=SZ).collect()} == {1, 2}
+    # opt-in: all-zero buffers skipped, near-black kept
+    assert {
+        r["doc_id"]
+        for r in gundam_tiles(df, image_size=SZ, drop_null_images=True).collect()
+    } == {2}
+    assert {
+        r["doc_id"]
+        for r in global_views(df, base_size=SZ, drop_null_images=True).collect()
+    } == {2}
 
 
 def test_vision_null_payloads_dropped_not_crashed(spark):
