@@ -116,6 +116,7 @@ def main() -> None:
         "repetition_signals",
         "bloom_membership",
         "dedup_lines_global",
+        "gopher_quality_flags",
     ]
     reg = registry()
     for name in bench_queries:

@@ -590,6 +590,11 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: textops.quantiles_approx_quality(_docs(s, d)),
         textops.quantiles_approx_quality_sql(),
     ),
+    # the published Gopher rule battery as per-doc booleans + overall pass
+    "gopher_quality_flags": (
+        lambda s, d: textops.gopher_quality_flags(_docs(s, d)),
+        textops.gopher_quality_flags_sql(),
+    ),
     # Gopher-style repetition filters (dup-line fraction, top-bigram
     # fraction) — the shuffle formulation, linear in document length
     "repetition_signals": (
@@ -686,6 +691,7 @@ _DRIVER_HEAD: list[str] = [
     "bloom_membership",
     "quantiles_approx_quality",
     "dedup_lines_global",
+    "gopher_quality_flags",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -491,6 +491,127 @@ FROM (SELECT DISTINCT lang FROM {table}
 """
 
 
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc booleans for the published Gopher quality rules (Rae et al.
+    2021 §A1.1 — the standard webtext filter battery), plus the AND of all
+    of them:
+
+    - 50 ≤ word count ≤ 100 000
+    - 3 ≤ mean word length ≤ 10
+    - ellipsis-line fraction < 0.3 (lines ending "..." or "…")
+    - bullet-line fraction < 0.9 (lines starting "-" or "•")
+    - ≥ 80 % of words contain an alphabetic character
+    - ≥ 2 distinct English stop words present
+
+    All map-side array arithmetic over the repo-wide literal ' ' / '\\n'
+    tokenization (cross-engine parity rule; the original casefolds —
+    parity wins, thresholds unchanged). Ratios are int/int IEEE divisions
+    compared to literal thresholds: bit-identical in both engines. NULL
+    text fails every rule (flags false)."""
+    toks = F.split(F.col("text"), " ")
+    words = F.filter(toks, lambda t: t != F.lit(""))
+    n_words = F.size(words)
+    n_lines_col = F.size(
+        F.filter(F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit(""))
+    )
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+
+    def ratio(num, den):
+        # explicit zero-denominator guard → NULL → coalesce(False): ANSI
+        # mode (Spark 4 default) RAISES on 0/0, and engines disagree on
+        # NaN comparisons — the CASE keeps both on the NULL path
+        return F.when(den > 0, num.cast("double") / den)
+
+    mean_wl = ratio(
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)),
+        n_words,
+    )
+    ellipsis_frac = ratio(
+        F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))),
+        n_lines_col,
+    )
+    bullet_frac = ratio(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("•"),
+            )
+        ),
+        n_lines_col,
+    )
+    alpha_frac = ratio(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))), n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in sorted(EN_STOPWORDS)]),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "ellipsis_ok": F.coalesce(ellipsis_frac < 0.3, F.lit(False)),
+        "bullet_ok": F.coalesce(bullet_frac < 0.9, F.lit(False)),
+        "alpha_words_ok": F.coalesce(alpha_frac >= 0.8, F.lit(False)),
+        "stop_words_ok": n_stop >= 2,
+    }
+    cols = [
+        F.coalesce(expr, F.lit(False)).alias(name) for name, expr in flags.items()
+    ]
+    out = docs.select("doc_id", *cols)
+    passes = None
+    for name in flags:
+        passes = F.col(name) if passes is None else (passes & F.col(name))
+    return out.select("doc_id", *flags.keys(), passes.alias("passes_gopher"))
+
+
+def gopher_quality_flags_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in sorted(EN_STOPWORDS))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t != '') AS words,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+  FROM {table}
+),
+m AS (
+  SELECT doc_id, len(words) AS nw, len(ls) AS nl,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+             / len(words) END AS mwl,
+         CASE WHEN len(ls) > 0 THEN
+           CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%' || chr(8230)))
+                AS DOUBLE) / len(ls) END AS ell,
+         CASE WHEN len(ls) > 0 THEN
+           CAST(len(list_filter(ls, l -> trim(l) LIKE '-%'
+                                      OR trim(l) LIKE chr(8226) || '%'))
+                AS DOUBLE) / len(ls) END AS bul,
+         CASE WHEN len(words) > 0 THEN
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                AS DOUBLE) / len(words) END AS alpha,
+         len(list_intersect(list_distinct(words), [{stop_list}])) AS nstop
+  FROM base
+)
+SELECT doc_id,
+       coalesce(nw >= 50 AND nw <= 100000, FALSE) AS word_count_ok,
+       coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE) AS mean_word_len_ok,
+       coalesce(ell < 0.3, FALSE) AS ellipsis_ok,
+       coalesce(bul < 0.9, FALSE) AS bullet_ok,
+       coalesce(alpha >= 0.8, FALSE) AS alpha_words_ok,
+       coalesce(nstop >= 2, FALSE) AS stop_words_ok,
+       coalesce(nw >= 50 AND nw <= 100000, FALSE)
+         AND coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE)
+         AND coalesce(ell < 0.3, FALSE)
+         AND coalesce(bul < 0.9, FALSE)
+         AND coalesce(alpha >= 0.8, FALSE)
+         AND coalesce(nstop >= 2, FALSE) AS passes_gopher
+FROM m
+"""
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
     public filter rules every webtext pipeline runs): per doc,

@@ -49,6 +49,7 @@ EDGE_QUERIES = [
     "bloom_membership",
     "quantiles_approx_quality",
     "dedup_lines_global",
+    "gopher_quality_flags",
 ]
 
 QUERIES = entry_mod.queries()
