@@ -343,6 +343,10 @@ WHERE NOT EXISTS (
 
 EN_STOPWORDS = ("the", "a", "of", "is", "to", "and")
 
+# the Gopher paper's own stop list (Rae et al. 2021 §A1.1) — distinct from
+# the repo heuristic above; gopher_quality_flags must use the published set
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
 
 def langid_heuristic(docs: DataFrame) -> DataFrame:
     """Stopword-ratio language-ID heuristic (n-gram-free variant)."""
@@ -494,29 +498,31 @@ FROM (SELECT DISTINCT lang FROM {table}
 def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     """Per-doc booleans for the published Gopher quality rules (Rae et al.
     2021 §A1.1 — the standard webtext filter battery), plus the AND of all
-    of them:
+    of them. A doc is KEPT (flag true) when:
 
     - 50 ≤ word count ≤ 100 000
     - 3 ≤ mean word length ≤ 10
-    - ellipsis-line fraction < 0.3 (lines ending "..." or "…")
-    - bullet-line fraction < 0.9 (lines starting "-" or "•")
+    - symbol-to-word ratio ≤ 0.1 for BOTH '#' and '...'
+    - ellipsis-line fraction ≤ 0.3 (lines ending "..." or "…")
+    - bullet-line fraction ≤ 0.9 (lines starting "-" or "•")
     - ≥ 80 % of words contain an alphabetic character
-    - ≥ 2 distinct English stop words present
+    - ≥ 2 of the paper's stop words present
+      (the, be, to, of, and, that, have, with)
 
-    All map-side array arithmetic over the repo-wide literal ' ' / '\\n'
-    tokenization (cross-engine parity rule; the original casefolds —
-    parity wins, thresholds unchanged). Ratios are int/int IEEE divisions
-    compared to literal thresholds: bit-identical in both engines. NULL
-    text fails every rule (flags false)."""
+    Thresholds and the stop list are the PUBLISHED ones ("remove if MORE
+    than 30 %/90 %/0.1" → keep at exactly the boundary, hence ≤). The one
+    documented deviation: the repo-wide literal ' ' / '\n' tokenization
+    without casefolding (cross-engine parity rule). Zero-denominator
+    ratios are CASE-guarded to NULL → false on both engines (ANSI Spark
+    raises on 0/0; engines disagree on NaN comparisons). NULL text fails
+    every rule."""
     toks = F.split(F.col("text"), " ")
     words = F.filter(toks, lambda t: t != F.lit(""))
     n_words = F.size(words)
-    n_lines_col = F.size(
-        F.filter(F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit(""))
-    )
     lines = F.filter(
         F.split(F.col("text"), "\n"), lambda l: F.trim(l) != F.lit("")
     )
+    n_lines = F.size(lines)
 
     def ratio(num, den):
         # explicit zero-denominator guard → NULL → coalesce(False): ANSI
@@ -524,13 +530,18 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
         # NaN comparisons — the CASE keeps both on the NULL path
         return F.when(den > 0, num.cast("double") / den)
 
+    def substr_count(needle: str, width: int):
+        return (F.length("text") - F.length(F.replace(F.col("text"), F.lit(needle)))) / width
+
     mean_wl = ratio(
         F.aggregate(words, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)),
         n_words,
     )
+    hash_ratio = ratio(substr_count("#", 1), n_words)
+    ellipsis_sym_ratio = ratio(substr_count("...", 3), n_words)
     ellipsis_frac = ratio(
         F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))),
-        n_lines_col,
+        n_lines,
     )
     bullet_frac = ratio(
         F.size(
@@ -539,7 +550,7 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
                 lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("•"),
             )
         ),
-        n_lines_col,
+        n_lines,
     )
     alpha_frac = ratio(
         F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))), n_words
@@ -547,15 +558,16 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(words),
-            F.array(*[F.lit(s) for s in sorted(EN_STOPWORDS)]),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )
     )
     flags = {
         "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
         "mean_word_len_ok": (mean_wl >= 3.0) & (mean_wl <= 10.0),
-        "ellipsis_ok": F.coalesce(ellipsis_frac < 0.3, F.lit(False)),
-        "bullet_ok": F.coalesce(bullet_frac < 0.9, F.lit(False)),
-        "alpha_words_ok": F.coalesce(alpha_frac >= 0.8, F.lit(False)),
+        "symbol_ratio_ok": (hash_ratio <= 0.1) & (ellipsis_sym_ratio <= 0.1),
+        "ellipsis_ok": ellipsis_frac <= 0.3,
+        "bullet_ok": bullet_frac <= 0.9,
+        "alpha_words_ok": alpha_frac >= 0.8,
         "stop_words_ok": n_stop >= 2,
     }
     cols = [
@@ -569,10 +581,21 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
 
 
 def gopher_quality_flags_sql(table: str = "documents") -> str:
-    stop_list = ", ".join(f"'{s}'" for s in sorted(EN_STOPWORDS))
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    rules = {
+        "word_count_ok": "coalesce(nw >= 50 AND nw <= 100000, FALSE)",
+        "mean_word_len_ok": "coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE)",
+        "symbol_ratio_ok": "coalesce(hashr <= 0.1 AND ellr <= 0.1, FALSE)",
+        "ellipsis_ok": "coalesce(ell <= 0.3, FALSE)",
+        "bullet_ok": "coalesce(bul <= 0.9, FALSE)",
+        "alpha_words_ok": "coalesce(alpha >= 0.8, FALSE)",
+        "stop_words_ok": "coalesce(nstop >= 2, FALSE)",
+    }
+    flag_cols = ",\n       ".join(f"{expr} AS {name}" for name, expr in rules.items())
+    pass_expr = "\n         AND ".join(rules.values())
     return f"""
 WITH base AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          list_filter(string_split(text, ' '), t -> t != '') AS words,
          list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
   FROM {table}
@@ -582,6 +605,12 @@ m AS (
          CASE WHEN len(words) > 0 THEN
            CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
              / len(words) END AS mwl,
+         CASE WHEN len(words) > 0 THEN
+           CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+             / len(words) END AS hashr,
+         CASE WHEN len(words) > 0 THEN
+           (CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+             / len(words) END AS ellr,
          CASE WHEN len(ls) > 0 THEN
            CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%' || chr(8230)))
                 AS DOUBLE) / len(ls) END AS ell,
@@ -596,18 +625,8 @@ m AS (
   FROM base
 )
 SELECT doc_id,
-       coalesce(nw >= 50 AND nw <= 100000, FALSE) AS word_count_ok,
-       coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE) AS mean_word_len_ok,
-       coalesce(ell < 0.3, FALSE) AS ellipsis_ok,
-       coalesce(bul < 0.9, FALSE) AS bullet_ok,
-       coalesce(alpha >= 0.8, FALSE) AS alpha_words_ok,
-       coalesce(nstop >= 2, FALSE) AS stop_words_ok,
-       coalesce(nw >= 50 AND nw <= 100000, FALSE)
-         AND coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE)
-         AND coalesce(ell < 0.3, FALSE)
-         AND coalesce(bul < 0.9, FALSE)
-         AND coalesce(alpha >= 0.8, FALSE)
-         AND coalesce(nstop >= 2, FALSE) AS passes_gopher
+       {flag_cols},
+       {pass_expr} AS passes_gopher
 FROM m
 """
 

@@ -84,6 +84,37 @@ def test_minhash_pairs_default_cap_excludes_hot_bucket(spark):
     assert dedup_minhash_pairs(small, max_bucket=None).count() == 10
 
 
+def test_gopher_flags_published_boundaries(spark):
+    """Pin the PUBLISHED Gopher semantics (review r4): the paper's own
+    stop list (be/that/have/with count), keep-at-boundary thresholds
+    (exactly 30% ellipsis lines / 90% bullet lines survive — the rule
+    removes only 'more than'), and the symbol-to-word ratio rule."""
+    from deepseek_ocr_spark.operators.textops import gopher_quality_flags
+
+    ellipsis_doc = "\n".join(
+        ["line one ...", "line two ...", "line three ..."] + ["plain line"] * 7
+    )
+    bullet_doc = "\n".join(["- item"] * 9 + ["a plain closing line"])
+    hashy_doc = " ".join(["word"] * 40 + ["#"] * 10)  # 10/50 = 0.2 > 0.1
+    docs = spark.createDataFrame(
+        [
+            (1, "be that have with " * 5),     # paper stop words only
+            (2, "a is a is a is " * 5),        # repo-heuristic words only
+            (3, ellipsis_doc),
+            (4, bullet_doc),
+            (5, hashy_doc),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    assert got[1]["stop_words_ok"] is True
+    assert got[2]["stop_words_ok"] is False
+    assert got[3]["ellipsis_ok"] is True   # exactly 0.3 → keep
+    assert got[4]["bullet_ok"] is True     # exactly 0.9 → keep
+    assert got[5]["symbol_ratio_ok"] is False
+    assert got[5]["word_count_ok"] is True  # 50 words — boundary kept
+
+
 def test_duplicate_page_no_keeps_document_order(spark):
     """Regression: assembly must not tie-break duplicate page_no on content."""
     from deepseek_ocr_spark.oracle.runner import extract_url
