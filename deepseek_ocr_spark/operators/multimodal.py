@@ -53,25 +53,34 @@ def codecs_available() -> bool:
 
 
 def _real_decode(data: bytes) -> tuple[int, int, int]:
-    """Real pixel decode: PNG via the stdlib kernel; other formats via PIL
-    when present, else a clear NotImplementedError (metadata for those
-    still comes from sniff_image_meta)."""
-    from deepseek_ocr_spark.kernels import pixels
+    """Real pixel decode: PNG and baseline JPEG via the stdlib kernels
+    (kernels/pixels.py, kernels/jpeg.py — the reference's two image
+    formats, both real in-sandbox); progressive/exotic JPEG and other
+    formats via PIL when present, else a clear NotImplementedError
+    (metadata for those still comes from sniff_image_meta)."""
+    from deepseek_ocr_spark.kernels import jpeg, pixels
 
+    data = bytes(data)
     if data[:8] == pixels.PNG_SIG:
         w, h, c, _buf = pixels.decode_png(data)
         return w, h, c
+    if data[:2] == b"\xff\xd8":
+        try:
+            w, h, c, _buf = jpeg.decode_jpeg(data)
+            return w, h, c
+        except NotImplementedError:
+            pass  # progressive / arithmetic — fall through to the PIL gate
     try:
         from PIL import Image as _PILImage
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG pixel decode requires a native codec (PIL/cv2) — not "
-            "available in this sandbox; the codec-present lane "
-            "(tests/test_jpeg_codec.py) exercises this path"
+            "pixel decode for this format requires a native codec "
+            "(PIL/cv2) — not available in this sandbox; the codec-present "
+            "lane (tests/test_jpeg_codec.py) exercises this path"
         ) from e
     import io
 
-    with _PILImage.open(io.BytesIO(bytes(data))) as im:
+    with _PILImage.open(io.BytesIO(data)) as im:
         return im.width, im.height, len(im.getbands())
 
 
@@ -383,6 +392,33 @@ def extract_features_sql(dim: int = FEATURES_DIM) -> str:
         for j in range(dim)
     )
     return f"SELECT doc_id, [{elems}] AS features FROM documents"
+
+
+def extract_features_exploded(docs: DataFrame, dim: int = FEATURES_DIM) -> DataFrame:
+    """(doc_id, dim_ix, feature) — `extract_features` posexploded to one
+    scalar row per vector component. This is the registry/driver contract
+    shape: the driver's pandas canonicalizer cannot hash `array<double>`
+    cells (r4 red row), and exploding keeps `feature` a plain double that
+    the repo's single-rounded-expression rule (`round(x, 4)`, the ONLY
+    rounding applied) makes bit-stable against the DuckDB oracle — no
+    float→string formatting divergence to worry about."""
+    feats = extract_features(docs, dim=dim)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_ix", "feature")
+    ).select(
+        "doc_id",
+        F.col("dim_ix").cast("int").alias("dim_ix"),
+        F.round("feature", 4).alias("feature"),
+    )
+
+
+def extract_features_exploded_sql(dim: int = FEATURES_DIM) -> str:
+    return f"""
+SELECT doc_id, CAST(j AS INT) AS dim_ix,
+       round(CAST(('0x' || substr(md5(text), 2 * j + 1, 2)) AS INT) / 255.0, 4)
+         AS feature
+FROM documents, (SELECT unnest(range({dim})) AS j)
+"""
 
 
 FRAMES_SCHEMA = T.StructType(

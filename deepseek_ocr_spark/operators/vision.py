@@ -182,30 +182,22 @@ def global_views(
 
 
 def encode_jpeg(img, quality: int = 95) -> bytes:
-    """JPEG-encode an Image tuple via the PIL codec gate — the reference
-    writes region crops as JPEG (pdf.py:183-190); this container has no
-    JPEG entropy coder, so the call raises a clear NotImplementedError
-    here and works unchanged on a codec-present image
-    (tests/test_jpeg_codec.py exercises it; gate style of test_iceberg)."""
-    try:
-        from PIL import Image as _PILImage
-    except ImportError as e:
-        raise NotImplementedError(
-            "JPEG encode requires a native codec (PIL) — not available in "
-            "this sandbox; region crops default to lossless PNG here"
-        ) from e
-    import io
+    """JPEG-encode an Image tuple — the reference writes region crops as
+    JPEG (pdf.py:183-190).  r5: REAL in-sandbox via the stdlib baseline
+    encoder (kernels/jpeg.py, 4:4:4 + optimal Huffman tables); no codec
+    gate any more.  Alpha channels are dropped first (JPEG carries 1 or 3
+    components), matching PIL's RGBA→RGB convert in the old gated path."""
+    from deepseek_ocr_spark.kernels import jpeg as jpeg_kernel
 
     w, h, ch, buf = img
-    mode = {1: "L", 3: "RGB", 4: "RGBA"}.get(ch)
-    if mode is None:
+    if ch in (2, 4):  # LA / RGBA → drop alpha
+        import numpy as np
+
+        arr = np.frombuffer(bytes(buf), np.uint8).reshape(h, w, ch)
+        img = (w, h, ch - 1, arr[..., : ch - 1].tobytes())
+    elif ch not in (1, 3):
         raise ValueError(f"unsupported channel count {ch} for JPEG")
-    pim = _PILImage.frombytes(mode, (w, h), bytes(buf))
-    if mode == "RGBA":
-        pim = pim.convert("RGB")
-    out = io.BytesIO()
-    pim.save(out, "JPEG", quality=quality)
-    return out.getvalue()
+    return jpeg_kernel.encode_jpeg_baseline(img, quality=quality)
 
 
 def _region_batches(fmt: str = "png"):

@@ -1,50 +1,38 @@
-"""Codec-present lane for the non-PNG pixel path: _real_decode on an
-actual JPEG and JPEG region-crop emission. Runs ONLY where a native codec
-(PIL) is importable (a codec-present CI image / real cluster) and
-self-skips in this codec-less sandbox — same gate style as test_iceberg,
-so the gate in operators/multimodal.py / operators/vision.py is exercised
-code on both sides."""
+"""JPEG lane of the non-PNG pixel path.  r5: baseline JPEG decode/encode
+is REAL in-sandbox (kernels/jpeg.py, stdlib+numpy — VERDICT r4 #3), so the
+decode tests here run UN-skipped; the codec gate (NotImplementedError
+naming the missing codec) now covers only progressive/exotic JPEG and GIF
+pixel decode.  PIL cross-parity lives in tests/test_jpeg_kernel.py's
+codec-present lane."""
 
 import importlib.util
-import io
+import struct
 
 import pytest
 
+from deepseek_ocr_spark.kernels import jpeg as jpeg_kernel
+from deepseek_ocr_spark.kernels import pixels
+
 _HAS_PIL = importlib.util.find_spec("PIL") is not None
-_SKIP = pytest.mark.skipif(
-    not _HAS_PIL,
-    reason="PIL not on this image (sandbox); the codec-present CI lane runs this test",
-)
 
 
-def _jpeg_bytes(w, h):
-    from PIL import Image as PILImage
-
+def _jpeg_bytes(w, h, quality=95):
     from tests.test_pixels import gradient
 
-    img = gradient(w, h)
-    pim = PILImage.frombytes("RGB", (w, h), img[3])
-    out = io.BytesIO()
-    pim.save(out, "JPEG", quality=95)
-    return out.getvalue()
+    return jpeg_kernel.encode_jpeg_baseline(gradient(w, h), quality=quality)
 
 
-@_SKIP
-def test_real_decode_jpeg():
-    from deepseek_ocr_spark.operators.multimodal import _real_decode, codecs_available
+def test_real_decode_jpeg_in_sandbox():
+    """_real_decode handles baseline JPEG with NO native codec present."""
+    from deepseek_ocr_spark.operators.multimodal import _real_decode
 
-    assert codecs_available()
     assert _real_decode(_jpeg_bytes(24, 16)) == (24, 16, 3)
 
 
-@_SKIP
 def test_region_crops_emit_jpeg(spark):
     """fmt="jpeg" emits the reference's actual sink format (pdf.py:183-190
-    writes JPEG crops): output bytes are a decodable JPEG of the cropped
-    region's dimensions."""
-    from PIL import Image as PILImage
-
-    from deepseek_ocr_spark.kernels import pixels
+    writes JPEG crops): output bytes are a decodable baseline JPEG of the
+    cropped region's dimensions — runs in-sandbox via the stdlib codec."""
     from deepseek_ocr_spark.operators.vision import region_crops
     from tests.test_pixels import gradient
 
@@ -57,23 +45,41 @@ def test_region_crops_emit_jpeg(spark):
     assert len(rows) == 1 and "crop_jpeg" in rows[0].asDict()
     data = bytes(rows[0]["crop_jpeg"])
     assert data[:2] == b"\xff\xd8"
-    with PILImage.open(io.BytesIO(data)) as im:
-        assert (im.width, im.height) == (20, 25)
+    w, h, ch, _buf = jpeg_kernel.decode_jpeg(data)
+    assert (w, h, ch) == (20, 25, 3)
+
+
+def test_encode_jpeg_drops_alpha():
+    from deepseek_ocr_spark.operators.vision import encode_jpeg
+    from tests.test_pixels import gradient
+
+    data = encode_jpeg(gradient(12, 9, 4))  # RGBA → RGB
+    assert jpeg_kernel.decode_jpeg(data)[:3] == (12, 9, 3)
+    data = encode_jpeg(gradient(12, 9, 2))  # LA → L
+    assert jpeg_kernel.decode_jpeg(data)[:3] == (12, 9, 1)
+
+
+def _progressive_stub() -> bytes:
+    """Minimal SOF2 (progressive) stream — enough to reach the SOF marker."""
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += struct.pack(">BBH", 0xFF, 0xC2, len(sof) + 2) + sof
+    return bytes(out)
 
 
 @pytest.mark.skipif(
     _HAS_PIL, reason="codec present — the gate path is for codec-less environments"
 )
 def test_codec_gate_raises_clearly_without_codec():
-    """The sandbox side of the gate: non-PNG decode and JPEG encode raise a
-    NotImplementedError that names the missing codec, never a bare
-    ImportError mid-task."""
+    """The narrowed sandbox gate: PROGRESSIVE JPEG and GIF pixel decode
+    still need a native codec and raise a NotImplementedError naming it;
+    corrupt JPEG raises ValueError (a decoder error, not a gate)."""
     from deepseek_ocr_spark.operators.multimodal import _real_decode, codecs_available
-    from deepseek_ocr_spark.operators.vision import encode_jpeg
-    from tests.test_pixels import gradient
 
     assert not codecs_available()
     with pytest.raises(NotImplementedError, match="native codec"):
-        _real_decode(b"\xff\xd8\xff\xe0 fake jpeg")
+        _real_decode(_progressive_stub())
     with pytest.raises(NotImplementedError, match="native codec"):
-        encode_jpeg(gradient(4, 4))
+        _real_decode(b"GIF89a" + bytes(20))
+    with pytest.raises(ValueError):
+        _real_decode(b"\xff\xd8\xff\xe0 fake jpeg")
