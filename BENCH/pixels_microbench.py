@@ -51,7 +51,8 @@ def py_encode(img, ft=0):
     ihdr = struct.pack(">IIBBBBB", w, h, 8, pixels._CHANNELS_CT[ch], 0, 0, 0)
     return (
         pixels.PNG_SIG + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b"")
+        + chunk(b"IDAT", zlib.compress(raw, pixels.PNG_ZLIB_LEVEL))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -78,11 +79,11 @@ def py_decode(data):
     return (w, h, ch, bytes(pixels._py_unfilter(raw, w, h, ch)))
 
 
-def run_numpy(png, nw, nh):
+def run_numpy(png, nw, nh, level=pixels.PNG_ZLIB_LEVEL):
     img = pixels.decode_png(png)
     tiles = pixels.dynamic_tiles(img, nw, nh, 640)
-    out = [pixels.encode_png(t) for t in tiles]
-    out.append(pixels.encode_png(pixels.global_view(img, 1024)))
+    out = [pixels.encode_png(t, level=level) for t in tiles]
+    out.append(pixels.encode_png(pixels.global_view(img, 1024), level=level))
     return len(out)
 
 
@@ -138,13 +139,19 @@ def main():
         return b
 
     t_np = best_of(run_numpy, png)
+    # level-9 comparison point: the old sink default — encode-bound half of
+    # the path (VERDICT r4 #7: the deflate level is a free knob on sinks)
+    t_np_l9 = best_of(lambda a, w, h: run_numpy(a, w, h, level=9), png)
     t_py = best_of(run_python, png, n=1)  # the py lane is slow; once is plenty
     t_np_ops = best_of(run_numpy_pixops, img)
     t_py_ops = best_of(run_python_pixops, img, n=1)
     out = {
         "bench": "pixels_640_tile_path",
         "tiles": nw * nh,
+        "zlib_level": pixels.PNG_ZLIB_LEVEL,
         "numpy_sec": round(t_np, 4),
+        "numpy_sec_level9": round(t_np_l9, 4),
+        "speedup_level6_vs_9": round(t_np_l9 / t_np, 2),
         "pure_python_sec": round(t_py, 4),
         "speedup_end_to_end": round(t_py / t_np, 1),
         "numpy_pixops_sec": round(t_np_ops, 4),

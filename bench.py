@@ -47,21 +47,18 @@ def main() -> None:
 
     # noisy-VM robustness (same reasoning as BENCH/scaling.py): external
     # interference only ever SLOWS a run, so each query is timed BENCH_RUNS
-    # times (default 2) and the minimum is reported. Sub-second queries get
-    # extra runs (min 4 total): at that duration a single scheduler hiccup
-    # is a 1.5× swing (r3 flagged ×1.66/×1.56 "regressions" on unchanged
-    # modules), and extra sub-second runs are nearly free.
-    n_runs = int(os.environ.get("BENCH_RUNS", "2"))
-    n_runs_subsec = max(n_runs, int(os.environ.get("BENCH_RUNS_SUBSEC", "4")))
+    # times (default 4) and the minimum is reported. r5: min-of-4 applies to
+    # EVERY query, not just sub-second ones — r4 recorded ×1.49/×1.36
+    # "regressions" on 1s-range queries whose modules had not changed (the
+    # VM swings 0.68–1.18×); min-of-2 is not evidence at any duration.
+    n_runs = int(os.environ.get("BENCH_RUNS", "4"))
 
     def timed(action) -> float:
         best = float("inf")
-        runs = 0
-        while runs < n_runs or (best < 1.0 and runs < n_runs_subsec):
+        for _ in range(n_runs):
             t0 = time.time()
             action()
             best = min(best, time.time() - t0)
-            runs += 1
         return round(best, 3)
 
     docs_path = tempfile.mkdtemp(prefix="bench_docs_") + "/docs"

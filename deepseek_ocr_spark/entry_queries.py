@@ -623,9 +623,13 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: corpus_stats.tfidf_top_terms(_docs(s, d)),
         corpus_stats.tfidf_top_terms_sql(),
     ),
+    # driver contract: postings serialized to a comma-joined string (the
+    # driver's pandas canonicalizer cannot hash list cells — r4 red row);
+    # max_postings=50 exercises the stopword truncation live (df > 50
+    # tokens exist at sf0.01, so the slice is not a no-op)
     "inverted_index": (
-        lambda s, d: corpus_stats.inverted_index(_docs(s, d)),
-        corpus_stats.inverted_index_sql(),
+        lambda s, d: corpus_stats.inverted_index_csv(_docs(s, d), max_postings=50),
+        corpus_stats.inverted_index_csv_sql(max_postings=50),
     ),
     # O-28 relational analog: sliding-window duplicate n-gram detector
     "ngram_repeat_flags": (
@@ -641,9 +645,11 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: multimodal.resize_meta(_docs(s, d)),
         multimodal.resize_meta_sql(),
     ),
+    # driver contract: posexploded to scalar (doc_id, dim_ix, feature) rows
+    # — array<double> cells crash the driver's canonicalizer (r4 red row)
     "multimodal_features": (
-        lambda s, d: multimodal.extract_features(_docs(s, d)),
-        multimodal.extract_features_sql(),
+        lambda s, d: multimodal.extract_features_exploded(_docs(s, d)),
+        multimodal.extract_features_exploded_sql(),
     ),
     "multimodal_frame_sample": (
         lambda s, d: multimodal.frame_sample(_docs(s, d)),
@@ -657,41 +663,69 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
 
 
 # Driver-priority head: queries that still need a driver CORRECTNESS row,
-# most-starved first — (a) never driver-checked in any round, (b) checked
-# only in r01/r02 and rotated out of r03. Everything else follows in _DEFS
-# order; long-green stalwarts land past position 50 and rest on their
-# recorded rows + the local replica gate.
+# most-starved first. r5 rotation — (a) the two r4 reds, FIXED this round
+# (array columns now serialized/exploded to scalars), kept in the head to
+# prove the fix; (b) the 27 queries whose only green row is r03 (TPC-H,
+# temporal, dedup families — dedup.py and textops.py changed substantially
+# in r4 and deserve fresh evidence); (c) fill to 50 with r4-green queries
+# in _DEFS order. `extract_pipeline` (no oracle, permanently rows-only) is
+# deliberately PAST position 50 — a head slot that cannot go green is a
+# wasted check; its SQL-expressible projection is oracled by
+# `extract_summary` and its bytes by the pytest byte-identity gate.
 _DRIVER_HEAD: list[str] = [
-    # (a) never driver-checked (as of r03)
-    "similarity_ann_ivf",
-    "similarity_ann_lsh_256",
-    "similarity_ann_recall",
-    "hll_distinct_sources",
-    "hll_distinct_texts",
-    "tfidf_top_terms",
+    # (a) r4 reds, fixed in r5
     "inverted_index",
-    "ngram_repeat_flags",
-    "multimodal_resize",
     "multimodal_features",
-    "multimodal_frame_sample",
-    "extract_summary",
-    # (b) checked only in r01/r02
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "langid_heuristic",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_decode",
-    "extract_pipeline",
-    # (c) new in round 4 — never driver-checked yet
-    "dedup_components_logstar",
-    "repetition_signals",
-    "bloom_membership",
-    "quantiles_approx_quality",
-    "dedup_lines_global",
-    "gopher_quality_flags",
+    # (b) r03-only evidence, module changed in r4
+    "formula_cleanup",
+    "image_ref_substitution",
+    "anti_join_resume",
+    "broadcast_dim_join",
+    "events_hourly",
+    "sessionize",
+    "asof_join_orders",
+    "interval_join_views_clicks",
+    "props_json_rollup",
+    "daily_active_users",
+    "tpch_pricing_summary",
+    "tpch_revenue_topn",
+    "tpch_star_region_rollup",
+    "semi_join_open_orders",
+    "anti_join_parts_unordered",
+    "salted_hot_key_join",
+    "supplier_nation_balance",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_pairs_capped",
+    "dedup_minhash_pairs_16x4",
+    "dedup_components",
+    "dedup_minhash_verified",
+    "dedup_incremental",
+    # (c) fill to 50 (r4-green, refreshed)
+    "tile_plan_argmin",
+    "vision_tokens",
+    "token_layout",
+    "tile_boxes",
+    "token_splice_segments",
+    "deterministic_sample",
+    "text_normalize",
+    "url_normalize",
+    "per_domain_cap",
+    "eos_filter",
+    "ordered_assembly",
+    "page_ordinals",
+    "metrics_rollup",
+    "metrics_cube",
+    "metrics_rollup_salted",
+    "corpus_clean",
+    "median_chars_by_lang",
+    "quantiles_by_lang",
+    "lang_source_pivot",
+    "stratified_sample",
+    "span_extract",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -324,11 +324,21 @@ def _py_filter_rows(img: Image, filter_type: int) -> bytes:
     return bytes(raw)
 
 
-def encode_png(img: Image, filter_type: int = 0) -> bytes:
+PNG_ZLIB_LEVEL = 6  # sink default: level 9 cost ~0.17s/image (~half the
+# whole 640-tile path) for a few % size — sink bytes are not oracle-compared
+# (only decoded pixels are pinned), so the deflate level is a free knob;
+# pass level=9 for archival density
+
+
+def encode_png(
+    img: Image, filter_type: int = 0, level: int = PNG_ZLIB_LEVEL
+) -> bytes:
     """Encode to PNG with a single scanline filter type (0-4) on every row.
 
     Filter 0 is the deterministic default; the other filters exist so tests
-    exercise every _unfilter branch against a reference pattern."""
+    exercise every _unfilter branch against a reference pattern. ``level``
+    is the zlib deflate level — output bytes change with it, decoded pixels
+    never do (lossless at every level)."""
     w, h, ch, buf = img
     if ch not in _CHANNELS_CT:
         raise ValueError(f"unsupported channel count {ch}")
@@ -348,7 +358,7 @@ def encode_png(img: Image, filter_type: int = 0) -> bytes:
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
 
@@ -441,6 +451,10 @@ def _precompute_coeffs(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndar
     past each window's tap count)."""
     scale = in_size / out_size
     filterscale = max(scale, 1.0)
+    # Pillow's Resample.c precomputes the reciprocal (`ss = 1.0 / scale`)
+    # and MULTIPLIES — `x / filterscale` can differ by 1 ulp, which after
+    # the 22-bit quantization could flip a coefficient vs real PIL
+    ss = 1.0 / filterscale
     support = _BICUBIC_SUPPORT * filterscale
     ksize = int(math.ceil(support)) * 2 + 1
     xmins = np.empty(out_size, np.int64)
@@ -456,7 +470,7 @@ def _precompute_coeffs(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndar
             xmax = in_size
         xmax -= xmin
         ws = [
-            _bicubic_weight((x + xmin - center + 0.5) / filterscale)
+            _bicubic_weight((x + xmin - center + 0.5) * ss)
             for x in range(xmax)
         ]
         total = sum(ws)

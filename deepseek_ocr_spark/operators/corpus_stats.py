@@ -204,25 +204,47 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def inverted_index(docs: DataFrame, min_df: int = 3) -> DataFrame:
+def inverted_index(
+    docs: DataFrame, min_df: int = 3, max_postings: int | None = None
+) -> DataFrame:
     """(token, df, postings) — sorted doc_id posting list per token with at
-    least ``min_df`` distinct docs (the floor keeps the demo output small;
-    a production build also caps postings per stopword-like token)."""
+    least ``min_df`` distinct docs. ``df`` is always the FULL distinct-doc
+    count; ``max_postings`` truncates the materialized list to its first
+    ``max_postings`` sorted ids (the stopword bound: a 10^12-doc corpus puts
+    ~10^12 doc_ids in the "the" row — the cap keeps any single output row
+    bytes-bounded while df still reports the true frequency)."""
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
     # collect_set dedups inside the single token shuffle (df = postings
     # size) — a separate distinct pass would be a second full shuffle of
     # every (doc, token) pair
+    agg = toks.groupBy("token").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("all_postings")
+    )
+    postings = (
+        F.slice("all_postings", 1, max_postings)
+        if max_postings is not None
+        else F.col("all_postings")
+    )
     return (
-        toks.groupBy("token")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
-        .select("token", F.size("postings").cast("bigint").alias("df"), "postings")
+        agg.select(
+            "token",
+            F.size("all_postings").cast("bigint").alias("df"),
+            postings.alias("postings"),
+        )
         .filter(F.col("df") >= min_df)
     )
 
 
-def inverted_index_sql(table: str = "documents", min_df: int = 3) -> str:
+def inverted_index_sql(
+    table: str = "documents", min_df: int = 3, max_postings: int | None = None
+) -> str:
+    slice_expr = (
+        f"list_slice(postings, 1, {max_postings})"
+        if max_postings is not None
+        else "postings"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, token FROM (
@@ -233,8 +255,36 @@ idx AS (
   SELECT token, list_sort(list(DISTINCT doc_id)) AS postings
   FROM toks GROUP BY token
 )
-SELECT token, CAST(len(postings) AS BIGINT) AS df, postings
+SELECT token, CAST(len(postings) AS BIGINT) AS df, {slice_expr} AS postings
 FROM idx WHERE len(postings) >= {min_df}
+"""
+
+
+def inverted_index_csv(
+    docs: DataFrame, min_df: int = 3, max_postings: int | None = None
+) -> DataFrame:
+    """`inverted_index` with the posting list serialized as a comma-joined
+    STRING — the registry/driver contract: the correctness driver
+    canonicalizes results through a pandas sort, which cannot hash list
+    cells (r4 red row), so every registry query must emit scalar columns
+    only. Library users wanting the typed array call `inverted_index`."""
+    idx = inverted_index(docs, min_df=min_df, max_postings=max_postings)
+    return idx.select(
+        "token",
+        "df",
+        F.expr(
+            "array_join(transform(postings, x -> cast(x as string)), ',')"
+        ).alias("postings"),
+    )
+
+
+def inverted_index_csv_sql(
+    table: str = "documents", min_df: int = 3, max_postings: int | None = None
+) -> str:
+    inner = inverted_index_sql(table, min_df=min_df, max_postings=max_postings)
+    return f"""
+SELECT token, df, array_to_string(postings, ',') AS postings
+FROM ({inner})
 """
 
 

@@ -75,11 +75,15 @@ def stream_neardup_to_parquet(
     """File-source stream of (doc_id, warc_ts, text) parquet → near-dup-
     filtered parquet, one batch=<id> partition per trigger (idempotent
     under replay). Returns the StreamingQuery."""
-    # distinct ONCE, cached: the static seen-set does not change per trigger
-    bands_distinct = spark.read.parquet(corpus_bands_path).select(
-        "band"
-    ).distinct().persist()
-    bands_distinct.count()
+    # distinct ONCE, materialized via eager localCheckpoint — NOT persist():
+    # repeated invocations in one session would accumulate cache entries
+    # that nothing unpersists, the exact leak ann_ivf_topk_indexed avoids;
+    # checkpointed RDDs are GC-reclaimed by the ContextCleaner when the
+    # returned DataFrame goes out of scope
+    bands_distinct = (
+        spark.read.parquet(corpus_bands_path).select("band").distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         out = neardup_filter_batch(batch, bands_distinct, n_hashes, n_bands)

@@ -38,6 +38,16 @@ def _norm_cell(v):
         return repr(v)  # full precision — strictest possible float compare
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple, dict, set, bytes, bytearray)):
+        # the DRIVER's canonicalizer pandas-sorts result cells and raises
+        # `TypeError: unhashable type: 'list'` on array columns (r4 red
+        # rows inverted_index / multimodal_features) — the local gate must
+        # reject what the driver cannot canonicalize, never str() past it
+        raise TypeError(
+            f"non-scalar result cell {type(v).__name__}: registry queries "
+            "must emit scalar columns only (serialize arrays with "
+            "array_join / explode before registering)"
+        )
     return str(v)
 
 
@@ -51,6 +61,22 @@ def _value_hash(rows, colnames):
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_scalar_output_schema(name, spark):
+    """Driver contract: oracle-paired registry queries must emit only
+    scalar (atomic) output columns — array/map/struct cells crash the
+    driver's pandas canonicalizer before any values are compared."""
+    from pyspark.sql import types as T
+
+    qdf = QUERIES[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in qdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name}: non-scalar output columns {bad}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

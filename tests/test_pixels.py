@@ -54,13 +54,14 @@ def _ref_weight(x):
 def _ref_coeffs(in_size, out_size):
     scale = in_size / out_size
     fs = max(scale, 1.0)
+    ss = 1.0 / fs  # Pillow Resample.c precomputes the reciprocal and MULTIPLIES
     support = 2.0 * fs
     out = []
     for xx in range(out_size):
         center = (xx + 0.5) * scale
         xmin = max(int(center - support + 0.5), 0)
         xmax = min(int(center + support + 0.5), in_size)
-        ws = [_ref_weight((x - center + 0.5) / fs) for x in range(xmin, xmax)]
+        ws = [_ref_weight((x - center + 0.5) * ss) for x in range(xmin, xmax)]
         t = sum(ws)
         kk = []
         for w in ws:
@@ -352,6 +353,21 @@ def test_resize_bicubic_preserves_constant_and_identity():
         assert set(out[3][2::3]) == {200}
     img = gradient(7, 5)
     assert pixels.resize_bicubic(img, 7, 5) is img
+
+
+def test_resize_bicubic_matches_real_pil_when_present():
+    """Codec-present lane (tests/test_jpeg_codec.py style): when real
+    Pillow is importable, the module's bicubic must byte-match
+    `Image.resize(..., Resampling.BICUBIC)` — the ground truth the scalar
+    transcription approximates. Self-skips in this sandbox (no PIL)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    for (w, h, dw, dh) in [(13, 7, 5, 9), (130, 60, 96, 32), (4, 4, 8, 8),
+                           (10, 10, 10, 4), (9, 5, 1, 1)]:
+        img = gradient(w, h)
+        pil = PIL_Image.frombytes("RGB", (w, h), img[3])
+        expected = pil.resize((dw, dh), PIL_Image.Resampling.BICUBIC).tobytes()
+        assert pixels.resize_bicubic(img, dw, dh)[3] == expected, (w, h, dw, dh)
 
 
 def test_resize_bicubic_overshoot_is_clamped():
