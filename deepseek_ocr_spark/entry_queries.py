@@ -25,6 +25,7 @@ from deepseek_ocr_spark.operators import (
     similarity,
     temporal,
     textops,
+    traindata,
 )
 from deepseek_ocr_spark.operators.tiling_relational import (
     tile_plan_sql,
@@ -655,6 +656,20 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: multimodal.frame_sample(_docs(s, d)),
         multimodal.frame_sample_sql(),
     ),
+    # training-data pipeline ops (r5): PII redaction, benchmark
+    # decontamination, sequence packing — all pure Catalyst
+    "pii_scrub": (
+        lambda s, d: traindata.pii_scrub(_docs(s, d)),
+        traindata.pii_scrub_sql(),
+    ),
+    "contamination_3gram": (
+        lambda s, d: traindata.contamination_flags(_docs(s, d)),
+        traindata.contamination_flags_sql(),
+    ),
+    "seq_pack": (
+        lambda s, d: traindata.seq_pack(_docs(s, d)),
+        traindata.seq_pack_sql(),
+    ),
     # full pipeline (rows-only; byte-identity gated in pytest instead) +
     # the oracle-checkable projection of the same pipeline run
     "extract_pipeline": (q_extract_pipeline, None),
@@ -723,9 +738,11 @@ _DRIVER_HEAD: list[str] = [
     "corpus_clean",
     "median_chars_by_lang",
     "quantiles_by_lang",
-    "lang_source_pivot",
-    "stratified_sample",
-    "span_extract",
+    # (d) new in r5 — never driver-checked (displaced the last three
+    # r4-green fillers; those rest on their r4 rows + the local gate)
+    "pii_scrub",
+    "contamination_3gram",
+    "seq_pack",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

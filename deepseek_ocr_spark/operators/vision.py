@@ -43,6 +43,23 @@ from deepseek_ocr_spark.kernels import pixels
 from deepseek_ocr_spark.kernels.tiling import tile_plan
 
 
+def _decode_image(data: bytes):
+    """Sniff-and-decode a binary image payload: PNG via the stdlib kernel,
+    baseline JPEG via kernels/jpeg.py (r5 — the reference's eval corpus IS
+    JPEG, run_dpsk_ocr_eval_batch.py:101-107, so the Gundam path accepts it
+    natively now).  ValueError on anything undecodable (the hostile-payload
+    drop rule); NotImplementedError (progressive/exotic JPEG needing a
+    native codec) propagates loudly like the encode-side gate."""
+    from deepseek_ocr_spark.kernels import jpeg as jpeg_kernel
+
+    data = bytes(data)
+    if data[:8] == pixels.PNG_SIG:
+        return pixels.decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return jpeg_kernel.decode_jpeg(data)
+    raise ValueError("not a PNG or JPEG payload")
+
+
 def _is_null_image(img) -> bool:
     """All-zero pixel buffer test (O-20 context, reference model.py:341-342,
     391): the reference's `sum(pixel_values)==0 → skip vision tower` guards
@@ -79,7 +96,7 @@ def _tile_batches(
                 if data is None:
                     continue  # NULL payload (e.g. join miss) — drop, don't crash
                 try:
-                    img = pixels.decode_png(bytes(data))
+                    img = _decode_image(data)
                 except ValueError:  # hostile-payload rule
                     continue
                 if drop_null_images and _is_null_image(img):
@@ -146,7 +163,7 @@ def _view_batches(base_size: int, drop_null_images: bool = False):
                 if data is None:
                     continue
                 try:
-                    img = pixels.decode_png(bytes(data))
+                    img = _decode_image(data)
                 except ValueError:
                     continue
                 if drop_null_images and _is_null_image(img):
@@ -217,7 +234,7 @@ def _region_batches(fmt: str = "png"):
                 if data is None or any(pd.isna(v) for v in (rix, x1, y1, x2, y2)):
                     continue
                 try:
-                    img = pixels.decode_png(bytes(data))
+                    img = _decode_image(data)
                     c = pixels.crop(img, (int(x1), int(y1), int(x2), int(y2)))
                     # encode INSIDE the guard: encode_jpeg rejects channel
                     # counts JPEG can't carry (a gray+alpha PNG is a valid

@@ -27,6 +27,9 @@ EDGE_ROWS = [
     # NULL group key: a Spark join on lang is null-rejecting while SQL
     # GROUP BY keeps a NULL group — by-lang queries must pick one rule
     (12, "null lang but countable text", None, "src0", 28),
+    # PII-bearing row (r5): exercises the pii_scrub regex cascade on both
+    # engines — emails/IPs/phones never occur in the driver corpus
+    (13, "mail bob@x.org ip 10.0.0.1 tel +15551234567 end", "en", "src2", 47),
 ]
 
 EDGE_QUERIES = [
@@ -50,6 +53,9 @@ EDGE_QUERIES = [
     "quantiles_approx_quality",
     "dedup_lines_global",
     "gopher_quality_flags",
+    "pii_scrub",
+    "contamination_3gram",
+    "seq_pack",
 ]
 
 QUERIES = entry_mod.queries()

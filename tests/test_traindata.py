@@ -1,0 +1,119 @@
+"""Training-data ops (operators/traindata.py): crafted-input parity vs
+DuckDB plus semantic invariants the sf-corpus parity gate can't exercise
+(the driver documents rarely contain PII or shared 3-grams)."""
+
+import duckdb
+import pytest
+
+from deepseek_ocr_spark.operators import traindata
+from tests.test_entry_queries import _value_hash
+
+ROWS = [
+    (0, "benchmark shared secret trigram plus filler words here", "en", "s0", 50),
+    (1, "contact bob@example.com or ops@sub.domain.org today", "en", "s1", 48),
+    (2, "server at 10.0.0.1 and 192.168.255.3 responded", "en", "s0", 45),
+    (3, "call +15551234567 or +442071234567 now", "en", "s1", 38),
+    (4, "the shared secret trigram appears here too", "en", "s0", 42),
+    (5, "completely unrelated clean text content", "de", "s1", 39),
+    (6, "a b", "en", "s0", 3),  # < 3 tokens: no grams
+    (7, None, "en", "s0", 0),  # null text
+    (8, "bob@example.com", "en", "s1", 15),  # pure-PII doc
+    (23, "another benchmark document entirely different words", "en", "s0", 50),
+]
+
+
+@pytest.fixture(scope="module")
+def td_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("traindata")
+    spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def td_duck(td_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{td_dir}/documents.parquet/*.parquet'"
+    )
+    return con
+
+
+def _docs(spark, d):
+    return spark.read.parquet(f"{d}/documents.parquet")
+
+
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (traindata.pii_scrub, traindata.pii_scrub_sql()),
+        (traindata.contamination_flags, traindata.contamination_flags_sql()),
+        (traindata.seq_pack, traindata.seq_pack_sql()),
+    ],
+    ids=["pii_scrub", "contamination_3gram", "seq_pack"],
+)
+def test_crafted_corpus_matches_oracle(fn, sql, spark, td_dir, td_duck):
+    qdf = fn(_docs(spark, td_dir))
+    spark_rows = [tuple(r) for r in qdf.collect()]
+    res = td_duck.sql(sql)
+    duck_rows = res.fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    assert _value_hash(spark_rows, qdf.columns) == _value_hash(duck_rows, res.columns)
+
+
+def test_pii_scrub_semantics(spark, td_dir):
+    out = {r["doc_id"]: r for r in traindata.pii_scrub(_docs(spark, td_dir)).collect()}
+    assert out[1]["n_emails"] == 2 and "<EMAIL>" in out[1]["clean_text"]
+    assert "bob@example.com" not in out[1]["clean_text"]
+    assert out[2]["n_ips"] == 2 and out[2]["clean_text"].count("<IP>") == 2
+    assert out[3]["n_phones"] == 2 and "<PHONE>" in out[3]["clean_text"]
+    assert out[8]["clean_text"] == "<EMAIL>"
+    assert out[7]["clean_text"] is None and out[7]["n_emails"] is None
+    assert out[5]["clean_text"] == "completely unrelated clean text content"
+
+
+def test_contamination_semantics(spark, td_dir):
+    out = {
+        r["doc_id"]: r
+        for r in traindata.contamination_flags(_docs(spark, td_dir)).collect()
+    }
+    # benchmark docs (0, 23) are excluded from the output
+    assert 0 not in out and 23 not in out
+    # doc 4 shares "shared secret trigram" with benchmark doc 0
+    assert out[4]["contaminated"] and out[4]["n_hits"] >= 1
+    for clean in (1, 2, 3, 5, 6, 7):
+        assert not out[clean]["contaminated"], clean
+        assert out[clean]["n_hits"] == 0
+
+
+def test_seq_pack_invariants(spark):
+    # 40 docs across 4 shards; bins must respect capacity except for docs
+    # that alone exceed it
+    rows = [(i, "tok " * (5 + (i * 7) % 60), "en", "s", 1) for i in range(40)]
+    rows.append((99, "big " * 500, "en", "s", 1))  # oversize doc
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = traindata.seq_pack(docs, max_tokens=64, n_shards=4).collect()
+    assert len(out) == 41
+    by_bin = {}
+    for r in out:
+        assert r["shard"] == r["doc_id"] % 4
+        by_bin.setdefault((r["shard"], r["bin_ix"]), []).append(r)
+    for (shard, bin_ix), members in by_bin.items():
+        total = sum(r["n_tokens"] for r in members)
+        if all(r["n_tokens"] <= 64 for r in members):
+            # sorted-fill guarantee: a bin only overflows by less than one
+            # doc (the doc that crossed the boundary belongs to this bin)
+            assert total < 64 + max(r["n_tokens"] for r in members)
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, td_dir):
+    plan = (
+        traindata.contamination_flags(_docs(spark, td_dir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
