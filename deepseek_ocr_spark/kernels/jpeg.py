@@ -222,26 +222,29 @@ def ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 class _Huff:
-    """Canonical Huffman decode table from DHT BITS/HUFFVAL (spec F.2.2.3:
-    mincode/maxcode/valptr)."""
+    """Canonical Huffman decode table from DHT BITS/HUFFVAL, flattened to
+    a full 16-bit-peek lookup (one list index per symbol instead of a
+    per-bit tree walk — the standard fast-JPEG-decoder structure).  Entry
+    = (symbol, code_length); length 0 marks an invalid prefix."""
 
     def __init__(self, bits: list[int], vals: bytes):
-        self.vals = vals
+        if sum(bits) != len(vals):
+            raise ValueError("DHT count mismatch")
+        lut = [(0, 0)] * 65536
         code = 0
         k = 0
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
         for l in range(1, 17):
-            if bits[l - 1]:
-                self.valptr[l] = k
-                self.mincode[l] = code
-                code += bits[l - 1]
-                k += bits[l - 1]
-                self.maxcode[l] = code - 1
+            for _ in range(bits[l - 1]):
+                if code >= (1 << l):
+                    raise ValueError("over-subscribed Huffman table")
+                base = code << (16 - l)
+                entry = (vals[k], l)
+                for suffix in range(1 << (16 - l)):
+                    lut[base | suffix] = entry
+                code += 1
+                k += 1
             code <<= 1
-        if k != len(vals):
-            raise ValueError("DHT count mismatch")
+        self.lut = lut
 
 
 class _BitReader:
@@ -286,12 +289,14 @@ class _BitReader:
         return v
 
     def decode(self, table: _Huff) -> int:
-        code = 0
-        for l in range(1, 17):
-            code = (code << 1) | self.receive(1)
-            if code <= table.maxcode[l]:
-                return table.vals[table.valptr[l] + code - table.mincode[l]]
-        raise ValueError("bad Huffman code")
+        while self.nbits < 16:
+            self._fill()
+        sym, l = table.lut[(self.acc >> (self.nbits - 16)) & 0xFFFF]
+        if l == 0:
+            raise ValueError("bad Huffman code")
+        self.nbits -= l
+        self.acc &= (1 << self.nbits) - 1
+        return sym
 
     def restart(self, n: int) -> None:
         """Consume fill bytes + the expected RSTn marker, reset the bit
@@ -694,31 +699,25 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
 
 
-def _block_symbols(block: np.ndarray, pred: int) -> tuple[list, int]:
-    """(dc_size, [(run, size, value)...], eob?) symbol stream for one
-    quantized block; returns symbols + the new DC predictor."""
+def _block_symbols(zz: np.ndarray, nz: np.ndarray, pred: int) -> tuple[list, int]:
+    """Symbol stream for one block given its ZIGZAG-order coefficients and
+    the precomputed nonzero-AC positions (np.nonzero over the whole
+    component at once — the per-block Python work is proportional to the
+    handful of nonzero coefficients, not 64)."""
     syms = []
-    dc = int(block[0])
+    dc = int(zz[0])
     diff = dc - pred
     syms.append(("dc", _csize(diff), diff))
-    run = 0
-    last_nz = 0
-    zz = [int(block[ZIGZAG[k]]) for k in range(64)]
-    for k in range(63, 0, -1):
-        if zz[k]:
-            last_nz = k
-            break
-    for k in range(1, last_nz + 1):
-        v = zz[k]
-        if v == 0:
-            run += 1
-            continue
+    prev = 0
+    for k in nz:
+        run = k - prev - 1
         while run > 15:
             syms.append(("ac", 0xF0, 0))  # ZRL
             run -= 16
+        v = int(zz[k])
         syms.append(("ac", (run << 4) | _csize(v), v))
-        run = 0
-    if last_nz < 63:
+        prev = k
+    if prev < 63:
         syms.append(("ac", 0x00, 0))  # EOB
     return syms, dc
 
@@ -765,8 +764,13 @@ def encode_jpeg_baseline(img: Image, quality: int = 95) -> bytes:
         tc = min(ci, 1)
         pred = 0
         comp_syms = []
+        zz_all = coeffs[:, ZIGZAG]  # zigzag reorder, all blocks at once
+        nz_rows, nz_cols = np.nonzero(zz_all[:, 1:])
+        nz_cols = nz_cols + 1
+        splits = np.searchsorted(nz_rows, np.arange(1, coeffs.shape[0]))
+        nz_per_block = np.split(nz_cols, splits)
         for n in range(coeffs.shape[0]):
-            syms, pred = _block_symbols(coeffs[n], pred)
+            syms, pred = _block_symbols(zz_all[n], nz_per_block[n], pred)
             comp_syms.append(syms)
             for kind, sym, _v in syms:
                 if kind == "dc":
@@ -780,21 +784,44 @@ def encode_jpeg_baseline(img: Image, quality: int = 95) -> bytes:
     dc_codes = [_huff_codes(*t) for t in dc_tabs]
     ac_codes = [_huff_codes(*t) for t in ac_tabs]
 
-    # pass 2: emit (4:4:4 → MCU = one block per component, interleaved)
-    wr = _BitWriter()
+    # pass 2: emit (4:4:4 → MCU = one block per component, interleaved).
+    # Bit-packing is inlined (one fused code+magnitude append per
+    # coefficient, local-variable accumulator) — the method-call-per-bit
+    # writer was the encoder hot spot at ~2M calls/image.
+    body = bytearray()
+    acc = 0
+    nbits = 0
     for n in range(bw * bh):
         for ci in range(len(coeff_sets)):
             tc = min(ci, 1)
+            dcc, acc_codes = dc_codes[tc], ac_codes[tc]
             for kind, sym, v in all_syms[ci][n]:
-                codes = dc_codes[tc] if kind == "dc" else ac_codes[tc]
-                code, ln = codes[sym]
-                wr.put(code, ln)
-                size = sym & 15 if kind == "ac" else sym
-                if kind == "ac" and sym in (0x00, 0xF0):
-                    continue
+                if kind == "dc":
+                    code, ln = dcc[sym]
+                    size = sym
+                else:
+                    code, ln = acc_codes[sym]
+                    size = 0 if sym in (0x00, 0xF0) else sym & 15
                 if size:
-                    wr.put(v if v >= 0 else v + (1 << size) - 1, size)
-    wr.flush()
+                    mag = v if v >= 0 else v + (1 << size) - 1
+                    code = (code << size) | (mag & ((1 << size) - 1))
+                    ln += size
+                acc = (acc << ln) | code
+                nbits += ln
+                while nbits >= 8:
+                    nbits -= 8
+                    b = (acc >> nbits) & 0xFF
+                    body.append(b)
+                    if b == 0xFF:
+                        body.append(0)
+                acc &= (1 << nbits) - 1
+    if nbits:  # pad final byte with 1s
+        pad = 8 - nbits
+        acc = (acc << pad) | ((1 << pad) - 1)
+        b = acc & 0xFF
+        body.append(b)
+        if b == 0xFF:
+            body.append(0)
 
     # assemble segments
     def seg(marker: int, payload: bytes) -> bytes:
@@ -820,6 +847,6 @@ def encode_jpeg_baseline(img: Image, quality: int = 95) -> bytes:
         sos += bytes([ci + 1, (tc << 4) | tc])
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
-    out += wr.out
+    out += body
     out += b"\xff\xd9"
     return bytes(out)
