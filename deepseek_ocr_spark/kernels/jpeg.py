@@ -676,29 +676,6 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return codes
 
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def put(self, code: int, n: int) -> None:
-        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
-        self.nbits += n
-        while self.nbits >= 8:
-            self.nbits -= 8
-            b = (self.acc >> self.nbits) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)  # byte stuffing
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)
-
-
 def _block_symbols(zz: np.ndarray, nz: np.ndarray, pred: int) -> tuple[list, int]:
     """Symbol stream for one block given its ZIGZAG-order coefficients and
     the precomputed nonzero-AC positions (np.nonzero over the whole
