@@ -114,6 +114,10 @@ def main() -> None:
         "bloom_membership",
         "dedup_lines_global",
         "gopher_quality_flags",
+        # round 5: training-data pipeline ops
+        "pii_scrub",
+        "contamination_3gram",
+        "seq_pack",
     ]
     reg = registry()
     for name in bench_queries:
