@@ -1,0 +1,166 @@
+"""O-7 (true-PDF tier): assemble annotated page images into a real PDF
+per document — the byte-format analog of the reference's img2pdf step
+(run_dpsk_ocr_pdf.py:97-119; box/label styling per :151-215: stroke 4 for
+``title`` / 2 otherwise, translucent fill, label at (x1, y1-15)).
+
+The SVG sink (pipeline/layouts.py) remains the pure-Catalyst debug tier;
+this sink produces an actual ``_layouts.pdf`` artifact: page pixmaps are
+embedded UNMODIFIED (JPEG bytes pass through verbatim as /DCTDecode —
+img2pdf's trick, zero recompression; PNG pixels go lossless /FlateDecode)
+and the annotation layer is PDF vector/text operators on top, so the
+artifact is both smaller and higher-fidelity than burning boxes into
+pixels.
+
+Plan shape: one (url, page_no) join of pixmaps to span lists, a
+mapInPandas page stage (decode header / JPEG passthrough), then ONE url
+shuffle collecting the ordered page structs into the per-doc assembly UDF
+— the same doc-level finalize shape as the extraction pipeline itself.
+Colors are the deterministic layouts.PALETTE (reference uses np.random;
+a distributed sink must emit identical bytes on task retry)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepseek_ocr_spark.kernels import pdfwrite, pixels
+from deepseek_ocr_spark.pipeline.layouts import PALETTE
+
+_RGB = [tuple(int(c[i : i + 2], 16) for i in (1, 3, 5)) for c in PALETTE]
+
+_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("image", T.BinaryType()),
+        T.StructField("n_boxes", T.IntegerType()),
+        T.StructField("boxes_json", T.StringType()),
+    ]
+)
+
+PDF_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("pdf", T.BinaryType()),
+        T.StructField("n_pages", T.IntegerType()),
+        T.StructField("n_boxes", T.IntegerType()),
+    ]
+)
+
+
+def _prep_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per page: JPEG payloads pass through verbatim; PNG decodes to raw
+    samples for lossless /FlateDecode embedding (alpha dropped — PDF image
+    XObjects carry no alpha without SMask, out of scope for a debug
+    artifact).  Undecodable payloads drop the page (hostile-payload rule)."""
+    import json
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "url", "page_no", "width", "height", "codec", "image",
+            "n_boxes", "boxes_json",
+        )}
+        for url, page_no, data, boxes_json in zip(
+            pdf["url"], pdf["page_no"], pdf["png"], pdf["boxes_json"]
+        ):
+            if data is None:
+                continue
+            data = bytes(data)
+            try:
+                if data[:2] == b"\xff\xd8":
+                    from deepseek_ocr_spark.kernels import jpeg as jk
+
+                    w, h, _ch, _buf = jk.decode_jpeg(data)
+                    codec, image = "jpeg", data  # verbatim passthrough
+                else:
+                    w, h, ch, buf = pixels.decode_png(data)
+                    if ch in (2, 4):  # strip alpha
+                        import numpy as np
+
+                        arr = np.frombuffer(buf, np.uint8).reshape(h, w, ch)
+                        buf = arr[..., : ch - 1].tobytes()
+                        ch -= 1
+                    codec = "flate-gray" if ch == 1 else "flate-rgb"
+                    image = bytes(buf)
+            except ValueError:
+                continue
+            n_boxes = len(json.loads(boxes_json)) if boxes_json else 0
+            rows["url"].append(url)
+            rows["page_no"].append(int(page_no))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["codec"].append(codec)
+            rows["image"].append(image)
+            rows["n_boxes"].append(n_boxes)
+            rows["boxes_json"].append(boxes_json or "[]")
+        yield pd.DataFrame(rows) if rows["url"] else pd.DataFrame(
+            {k: pd.Series([], dtype=object) for k in rows}
+        )
+
+
+def _assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    import json
+
+    pdf = pdf.sort_values("page_no")
+    pages = []
+    n_boxes = 0
+    for _, r in pdf.iterrows():
+        boxes = []
+        for b in json.loads(r["boxes_json"]):
+            rgb = _RGB[int(b["ord"]) % len(_RGB)]
+            sw = 4 if b.get("label") == "title" else 2
+            boxes.append(
+                (int(b["px1"]), int(b["py1"]), int(b["px2"]), int(b["py2"]),
+                 rgb, sw, str(b.get("label", "")))
+            )
+        n_boxes += len(boxes)
+        pages.append(
+            pdfwrite.PdfPage(
+                int(r["width"]), int(r["height"]), r["codec"],
+                bytes(r["image"]), boxes,
+            )
+        )
+    data = pdfwrite.build_pdf(pages)
+    return pd.DataFrame(
+        {"url": [key[0]], "pdf": [data], "n_pages": [len(pages)],
+         "n_boxes": [n_boxes]}
+    )
+
+
+def annotated_pdf_docs(pages_df: DataFrame, extracted: DataFrame) -> DataFrame:
+    """(url, page_no, png) pixmaps × extracted spans → one real
+    ``_layouts.pdf`` artifact per url: (url, pdf binary, n_pages, n_boxes).
+
+    Pages with no spans still appear in the PDF (reference behavior: every
+    page is bound).  Spans are serialized to JSON for the Arrow hop — they
+    are debug metadata, not a parity surface."""
+    spans = (
+        extracted.select("url", F.explode("spans").alias("s"))
+        .select(
+            "url",
+            F.col("s.page_no").alias("page_no"),
+            F.struct(
+                F.col("s.ord").alias("ord"),
+                F.col("s.label").alias("label"),
+                F.col("s.px1").alias("px1"),
+                F.col("s.py1").alias("py1"),
+                F.col("s.px2").alias("px2"),
+                F.col("s.py2").alias("py2"),
+            ).alias("box"),
+        )
+        .groupBy("url", "page_no")
+        .agg(F.to_json(F.array_sort(F.collect_list("box"))).alias("boxes_json"))
+    )
+    prepped = (
+        pages_df.join(spans, ["url", "page_no"], "left")
+        .select("url", "page_no", "png", "boxes_json")
+        .mapInPandas(_prep_batches, _PAGE_SCHEMA)
+    )
+    return prepped.groupBy("url").applyInPandas(_assemble, PDF_DOC_SCHEMA)
