@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
         help="page-granular path for giant-document inputs (extra shuffle; "
         "spreads one huge doc's pages across tasks)",
     )
+    ap.add_argument(
+        "--layouts-pdf", action="store_true",
+        help="also write layouts_pdf/ — one TRUE annotated _layouts.pdf "
+        "artifact per doc (pipeline/pdfsink.py); pixmaps are deterministic "
+        "synthetic pages unless a real rasterizer feeds the sink",
+    )
     args = ap.parse_args(argv)
 
     from deepseek_ocr_spark.config import EngineConfig
@@ -116,6 +122,15 @@ def main(argv: list[str] | None = None) -> int:
     layouts_doc(final).write.mode("overwrite").parquet(
         os.path.join(args.output, "layouts_doc")
     )
+    if args.layouts_pdf:
+        from deepseek_ocr_spark.pipeline.pdfsink import (
+            annotated_pdf_docs,
+            synthetic_page_pixmaps,
+        )
+
+        annotated_pdf_docs(synthetic_page_pixmaps(final), final).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.output, "layouts_pdf"))
 
     # summary counters from the just-written metrics table — re-aggregating
     # `final` would replay the dedup window over the whole extracted table

@@ -37,6 +37,10 @@ class PdfPage:
     image: bytes  # JPEG file bytes, or raw RGB/gray samples row-major
     # (x1, y1, x2, y2, (r, g, b), stroke_width, label) in image pixel coords
     boxes: list[tuple] = field(default_factory=list)
+    # True → ``image`` is ALREADY zlib-compressed for the flate codecs
+    # (lets a distributed caller compress map-side so the per-doc shuffle
+    # group never holds raw samples); size checks are the caller's duty
+    precompressed: bool = False
 
 
 def _esc(s: str) -> str:
@@ -97,14 +101,16 @@ def build_pdf(pages: list[PdfPage]) -> bytes:
         objs[ct] = stream_obj(b"", _content_stream(p))
         if p.codec == "jpeg":
             filt, cs, data = b"/DCTDecode", b"/DeviceRGB", p.image
-        elif p.codec == "flate-rgb":
-            if len(p.image) != p.width * p.height * 3:
-                raise ValueError("flate-rgb image size mismatch")
-            filt, cs, data = b"/FlateDecode", b"/DeviceRGB", zlib.compress(p.image, 6)
-        elif p.codec == "flate-gray":
-            if len(p.image) != p.width * p.height:
-                raise ValueError("flate-gray image size mismatch")
-            filt, cs, data = b"/FlateDecode", b"/DeviceGray", zlib.compress(p.image, 6)
+        elif p.codec in ("flate-rgb", "flate-gray"):
+            nch = 3 if p.codec == "flate-rgb" else 1
+            cs = b"/DeviceRGB" if nch == 3 else b"/DeviceGray"
+            filt = b"/FlateDecode"
+            if p.precompressed:
+                data = p.image
+            else:
+                if len(p.image) != p.width * p.height * nch:
+                    raise ValueError(f"{p.codec} image size mismatch")
+                data = zlib.compress(p.image, 6)
         else:
             raise ValueError(f"unknown page codec {p.codec}")
         objs[im] = stream_obj(

@@ -80,6 +80,8 @@ def _prep_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     w, h, _ch, _buf = jk.decode_jpeg(data)
                     codec, image = "jpeg", data  # verbatim passthrough
                 else:
+                    import zlib
+
                     w, h, ch, buf = pixels.decode_png(data)
                     if ch in (2, 4):  # strip alpha
                         import numpy as np
@@ -88,7 +90,10 @@ def _prep_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         buf = arr[..., : ch - 1].tobytes()
                         ch -= 1
                     codec = "flate-gray" if ch == 1 else "flate-rgb"
-                    image = bytes(buf)
+                    # compress MAP-SIDE: the per-doc assembly group must
+                    # never hold raw samples (40 raw pages OOM'd a 1 GiB
+                    # driver; PdfPage.precompressed embeds these verbatim)
+                    image = zlib.compress(bytes(buf), 6)
             except ValueError:
                 continue
             n_boxes = len(json.loads(boxes_json)) if boxes_json else 0
@@ -125,6 +130,7 @@ def _assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             pdfwrite.PdfPage(
                 int(r["width"]), int(r["height"]), r["codec"],
                 bytes(r["image"]), boxes,
+                precompressed=r["codec"] != "jpeg",
             )
         )
     data = pdfwrite.build_pdf(pages)
@@ -132,6 +138,64 @@ def _assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         {"url": [key[0]], "pdf": [data], "n_pages": [len(pages)],
          "n_boxes": [n_boxes]}
     )
+
+
+_PIXMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("png", T.BinaryType()),
+    ]
+)
+
+
+def synthetic_page_pixmaps(extracted: DataFrame) -> DataFrame:
+    """(url, page_no, png) deterministic pixmaps at each page's REAL dims —
+    the sandbox stand-in feeding `annotated_pdf_docs` when no rasterized
+    pages exist (same philosophy as kernels/pdfraster.rasterize_page: a
+    real deployment injects actual page renders; the geometry and plan
+    shape are identical either way)."""
+    import zlib
+
+    import numpy as np
+
+    pages = extracted.select("url", F.explode("page_dims").alias("pd")).select(
+        "url",
+        F.col("pd.page_no").alias("page_no"),
+        F.col("pd.width").alias("width"),
+        F.col("pd.height").alias("height"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "page_no": [], "png": []}
+            for url, page_no, w, h in zip(
+                pdf["url"], pdf["page_no"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                seed = (zlib.crc32(str(url).encode()) ^ (int(page_no) * 0x9E3779B1)) & 0xFFFFFFFF
+                ys = np.arange(h, dtype=np.uint32)[:, None]
+                xs = np.arange(w, dtype=np.uint32)[None, :]
+                # LOW-frequency 16px block pattern on purpose: a noise
+                # pattern is deflate-incompressible (~3 MB/page), and the
+                # per-doc binder holds a whole document's pages in one
+                # group — 40 noise pages OOM'd a 1 GiB driver.  Blocks
+                # compress ~100x and remain per-(url,page) unique.
+                bx, by = xs >> 4, ys >> 4
+                planes = [
+                    ((bx * 7 + by * 13 + seed) & 0xFF).astype(np.uint8),
+                    ((bx * 3 + by * 5 + (seed >> 8)) & 0xFF).astype(np.uint8),
+                    ((bx + by + (seed >> 16)) & 0xFF).astype(np.uint8),
+                ]
+                img = (w, h, 3, np.stack(planes, axis=-1).tobytes())
+                rows["url"].append(url)
+                rows["page_no"].append(int(page_no))
+                rows["png"].append(pixels.encode_png(img))
+            yield pd.DataFrame(rows) if rows["url"] else pd.DataFrame(
+                {k: pd.Series([], dtype=object) for k in rows}
+            )
+
+    return pages.mapInPandas(gen, _PIXMAP_SCHEMA)
 
 
 def annotated_pdf_docs(pages_df: DataFrame, extracted: DataFrame) -> DataFrame:
