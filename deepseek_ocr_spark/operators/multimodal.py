@@ -53,16 +53,19 @@ def codecs_available() -> bool:
 
 
 def _real_decode(data: bytes) -> tuple[int, int, int]:
-    """Real pixel decode: PNG and baseline JPEG via the stdlib kernels
-    (kernels/pixels.py, kernels/jpeg.py — the reference's two image
-    formats, both real in-sandbox); progressive/exotic JPEG and other
-    formats via PIL when present, else a clear NotImplementedError
-    (metadata for those still comes from sniff_image_meta)."""
-    from deepseek_ocr_spark.kernels import jpeg, pixels
+    """Real pixel decode: PNG, baseline JPEG and GIF via the stdlib
+    kernels (kernels/pixels.py, kernels/jpeg.py, kernels/gif.py);
+    progressive/exotic JPEG and other formats via PIL when present, else
+    a clear NotImplementedError (metadata for those still comes from
+    sniff_image_meta)."""
+    from deepseek_ocr_spark.kernels import gif, jpeg, pixels
 
     data = bytes(data)
     if data[:8] == pixels.PNG_SIG:
         w, h, c, _buf = pixels.decode_png(data)
+        return w, h, c
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, c, _buf = gif.decode_gif(data)
         return w, h, c
     if data[:2] == b"\xff\xd8":
         try:

@@ -71,15 +71,18 @@ def _progressive_stub() -> bytes:
     _HAS_PIL, reason="codec present — the gate path is for codec-less environments"
 )
 def test_codec_gate_raises_clearly_without_codec():
-    """The narrowed sandbox gate: PROGRESSIVE JPEG and GIF pixel decode
-    still need a native codec and raise a NotImplementedError naming it;
-    corrupt JPEG raises ValueError (a decoder error, not a gate)."""
+    """The narrowed sandbox gate: PROGRESSIVE JPEG and BMP pixel decode
+    still need a native codec and raise a NotImplementedError naming it
+    (PNG/baseline-JPEG/GIF are all native r5); corrupt JPEG/GIF raise
+    ValueError (a decoder error, not a gate)."""
     from deepseek_ocr_spark.operators.multimodal import _real_decode, codecs_available
 
     assert not codecs_available()
     with pytest.raises(NotImplementedError, match="native codec"):
         _real_decode(_progressive_stub())
     with pytest.raises(NotImplementedError, match="native codec"):
-        _real_decode(b"GIF89a" + bytes(20))
+        _real_decode(b"BM" + bytes(30))  # BMP: metadata-only natively
     with pytest.raises(ValueError):
         _real_decode(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError):
+        _real_decode(b"GIF89a" + bytes(20))
