@@ -656,6 +656,16 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: multimodal.frame_sample(_docs(s, d)),
         multimodal.frame_sample_sql(),
     ),
+    # audio lane (r5): REAL WAV build → RIFF re-parse → integer frame
+    # energies; closed-form oracles (the decode_image_meta pattern)
+    "audio_meta": (
+        lambda s, d: multimodal.audio_meta(_docs(s, d)),
+        multimodal.audio_meta_sql(),
+    ),
+    "audio_frame_energy": (
+        lambda s, d: multimodal.audio_frame_energy(_docs(s, d)),
+        multimodal.audio_frame_energy_sql(),
+    ),
     # training-data pipeline ops (r5): PII redaction, benchmark
     # decontamination, sequence packing — all pure Catalyst
     "pii_scrub": (
@@ -736,13 +746,13 @@ _DRIVER_HEAD: list[str] = [
     "metrics_cube",
     "metrics_rollup_salted",
     "corpus_clean",
-    "median_chars_by_lang",
-    "quantiles_by_lang",
-    # (d) new in r5 — never driver-checked (displaced the last three
+    # (d) new in r5 — never driver-checked (displaced the last five
     # r4-green fillers; those rest on their r4 rows + the local gate)
     "pii_scrub",
     "contamination_3gram",
     "seq_pack",
+    "audio_meta",
+    "audio_frame_energy",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

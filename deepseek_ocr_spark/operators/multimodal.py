@@ -472,3 +472,138 @@ FROM (
   FROM documents
 )
 """
+
+
+# --- audio lane (real WAV build → parse → feature extraction) -----------------
+
+AUDIO_RATE = 8000
+AUDIO_FRAME = 64  # sample-frames per energy window
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_ix", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def _synth_samples(text: str):
+    """Deterministic int16 PCM from a doc's text: the md5 hex repeated
+    ``2 + len(text) % 7`` times, each hex char mapped to ascii*256-32768.
+    Pure hash arithmetic ⇒ the closed form is SQL-expressible, so the
+    REAL encode→parse→extract plumbing gets an exact DuckDB oracle (the
+    decode_image_meta pattern, applied to audio)."""
+    import numpy as np
+
+    h = hashlib.md5(text.encode("utf-8")).hexdigest()
+    reps = 2 + len(text) % 7
+    vals = [ord(c) * 256 - 32768 for c in h] * reps
+    return np.array(vals, dtype="<i2")
+
+
+def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from deepseek_ocr_spark.kernels import wav
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "n_channels", "sample_rate", "bits", "n_samples",
+            "duration_ms",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            data = wav.encode_wav_pcm16(_synth_samples(text), AUDIO_RATE)
+            nch, rate, bits, n_frames, _pcm = wav.parse_wav(data)
+            rows["doc_id"].append(int(doc_id))
+            rows["n_channels"].append(nch)
+            rows["sample_rate"].append(rate)
+            rows["bits"].append(bits)
+            rows["n_samples"].append(n_frames)
+            rows["duration_ms"].append(n_frames * 1000 // rate)
+        yield pd.DataFrame(rows) if rows["doc_id"] else pd.DataFrame(
+            {k: pd.Series([], dtype=object) for k in rows}
+        )
+
+
+def audio_meta(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_channels, sample_rate, bits, n_samples, duration_ms) —
+    REAL WAV bytes are built per doc and REALLY re-parsed (RIFF walk); the
+    oracle re-derives the closed form from length(text).  NULL text has no
+    payload to synthesize and is excluded, like the SQL side."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _audio_meta_batches, AUDIO_META_SCHEMA
+    )
+
+
+def audio_meta_sql(table: str = "documents", rate: int = AUDIO_RATE) -> str:
+    return f"""
+SELECT doc_id,
+       1 AS n_channels,
+       {rate} AS sample_rate,
+       16 AS bits,
+       CAST(32 * (2 + length(text) % 7) AS BIGINT) AS n_samples,
+       CAST(32 * (2 + length(text) % 7) * 1000 // {rate} AS BIGINT) AS duration_ms
+FROM {table} WHERE text IS NOT NULL
+"""
+
+
+def _audio_energy_batches(frame: int):
+    from deepseek_ocr_spark.kernels import wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_ix": [], "energy": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                data = wav.encode_wav_pcm16(_synth_samples(text), AUDIO_RATE)
+                nch, _rate, bits, _n, pcm = wav.parse_wav(data)
+                for ix, e in enumerate(wav.frame_energies(pcm, bits, nch, frame)):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_ix"].append(ix)
+                    rows["energy"].append(e)
+            yield pd.DataFrame(rows) if rows["doc_id"] else pd.DataFrame(
+                {k: pd.Series([], dtype=object) for k in rows}
+            )
+
+    return gen
+
+
+def audio_frame_energy(docs: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """(doc_id, frame_ix, energy) — integer |sample| sums per window of
+    ``frame`` sample-frames over the synthesized-then-parsed PCM; the
+    1→many fan-out shape of a real audio featurizer with an exact
+    content-sensitive oracle (energy depends on the md5 of the text)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _audio_energy_batches(frame), AUDIO_ENERGY_SCHEMA
+    )
+
+
+def audio_frame_energy_sql(table: str = "documents", frame: int = AUDIO_FRAME) -> str:
+    # samples repeat the 32-hex-char pattern; a full 64-window holds the
+    # pattern exactly twice, an odd trailing half-window holds it once
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         2 + length(text) % 7 AS reps,
+         list_sum(list_transform(range(32),
+             i -> abs(ascii(substr(md5(text), CAST(i + 1 AS INT), 1)) * 256 - 32768)))
+           AS e32
+  FROM {table} WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(j AS INT) AS frame_ix,
+       CAST(CASE WHEN j < reps // 2 THEN 2 * e32 ELSE e32 END AS BIGINT) AS energy
+FROM base, LATERAL unnest(range((reps + 1) // 2)) AS t(j)
+"""

@@ -56,6 +56,8 @@ EDGE_QUERIES = [
     "pii_scrub",
     "contamination_3gram",
     "seq_pack",
+    "audio_meta",
+    "audio_frame_energy",
 ]
 
 QUERIES = entry_mod.queries()
