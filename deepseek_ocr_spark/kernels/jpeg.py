@@ -1,4 +1,4 @@
-"""Baseline JPEG codec — stdlib + numpy, no native library.
+"""JPEG codec — stdlib + numpy, no native library.
 
 The reference's eval corpus is JPEG (vllm/run_dpsk_ocr_eval_batch.py:101-107
 globs ``*.jpg``/``*.jpeg`` images opened by PIL at
@@ -6,9 +6,11 @@ vllm/run_dpsk_ocr_image.py:28-42) and its region crops are written JPEG
 (vllm/run_dpsk_ocr_pdf.py:183-190).  This module makes that format real
 in-sandbox, the way the PNG codec was done in round 3.
 
-DECODER — baseline sequential DCT (SOF0/SOF1), 8-bit, Huffman-coded,
-grayscale or YCbCr, sampling 1x1 / 2x1 / 2x2 (other integral ratios via
-box upsample), DRI/RSTn restart markers.  The arithmetic after entropy
+DECODER — sequential DCT (SOF0/SOF1) AND progressive (SOF2: spectral
+selection, successive approximation, EOB runs — the jdphuff.c scan
+semantics), 8-bit, Huffman-coded, grayscale or YCbCr, sampling 1x1 /
+2x1 / 2x2 (other integral ratios via box upsample), DRI/RSTn restart
+markers.  The arithmetic after entropy
 decoding is a transcription of the PUBLIC libjpeg reference
 implementation — jidctint.c "islow" fixed-point IDCT, jdsample.c fancy
 (triangle) upsampling, jdcolor.c fixed-point YCbCr→RGB tables — public
@@ -26,9 +28,9 @@ FROM the image's own symbol frequencies (the jchuff.c optimal-table
 algorithm) — no memorized standard Huffman tables to get subtly wrong,
 and smaller files than the fixed tables.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and >2 sampling
-factors raise NotImplementedError — callers fall back to the PIL codec
-gate exactly as before this module existed.
+Arithmetic coding, lossless/hierarchical processes, 12-bit precision
+and >2 sampling factors raise NotImplementedError — callers fall back to
+the PIL codec gate exactly as before this module existed.
 
 Scale shape: this kernel runs inside Arrow-batched mapInPandas stages
 (operators/vision.py, operators/multimodal.py) — per-image work,
@@ -333,10 +335,12 @@ class _Component:
 
 
 def decode_jpeg(data: bytes) -> Image:
-    """Decode baseline JPEG bytes → pixels.Image tuple (w, h, ch, buf);
-    ch = 1 (grayscale) or 3 (RGB from YCbCr).  ValueError on corrupt data,
-    NotImplementedError on progressive / arithmetic / 12-bit streams (the
-    PIL codec gate remains the fallback for those)."""
+    """Decode JPEG bytes → pixels.Image tuple (w, h, ch, buf); ch = 1
+    (grayscale) or 3 (RGB from YCbCr).  Handles baseline/extended
+    sequential (SOF0/SOF1) AND progressive (SOF2, r5 — spectral selection,
+    successive approximation, EOB runs; the jdphuff.c scan semantics).
+    ValueError on corrupt data, NotImplementedError on arithmetic-coded /
+    lossless / 12-bit streams (the PIL codec gate covers those)."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -346,6 +350,8 @@ def decode_jpeg(data: bytes) -> Image:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    saw_scan = False
     out: np.ndarray | None = None
 
     while pos + 4 <= len(data):
@@ -377,7 +383,8 @@ def decode_jpeg(data: bytes) -> Image:
                 for k, v in enumerate(vals):
                     nat[ZIGZAG[k]] = v
                 qt[tq] = nat
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -394,11 +401,13 @@ def decode_jpeg(data: bytes) -> Image:
                         f"sampling {comp.h}x{comp.v} not supported"
                     )
                 comps.append(comp)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if progressive:
+                _alloc_blocks(comps, width, height)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}) — use the "
-                "native-codec lane"
+                f"unsupported JPEG process (SOF marker 0x{marker:02x}) — "
+                "use the native-codec lane"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -421,6 +430,15 @@ def decode_jpeg(data: bytes) -> Image:
                     raise ValueError(f"SOS references unknown component {cs}")
                 comp.td, comp.ta = tdta >> 4, tdta & 15
                 scan.append(comp)
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                pos = _prog_scan(
+                    data, pos + 2 + seglen, scan, comps,
+                    dc_tabs, ac_tabs, restart_interval,
+                    ss, se, ahal >> 4, ahal & 15, width, height,
+                )
+                saw_scan = True
+                continue  # more scans follow until EOI
             out = _decode_scan(
                 data, pos + 2 + seglen, scan, comps, width, height,
                 qt, dc_tabs, ac_tabs, restart_interval,
@@ -429,6 +447,8 @@ def decode_jpeg(data: bytes) -> Image:
         # else: APPn/COM — skip
         pos += 2 + seglen
 
+    if progressive and saw_scan:
+        out = _finalize(comps, width, height, qt)
     if out is None or not comps:
         raise ValueError("no SOS/SOF in JPEG stream")
     if len(comps) == 1:
@@ -494,7 +514,16 @@ def _decode_scan(
                 dc_tabs[c.td], ac_tabs[c.ta], c,
             )
 
-    # dequant + IDCT + assemble per-component sample planes
+    return _finalize(comps, width, height, qt)
+
+
+def _finalize(
+    comps: list[_Component], width: int, height: int, qt: dict[int, np.ndarray]
+) -> np.ndarray:
+    """Dequant + IDCT + upsample + color-convert the accumulated
+    coefficient arrays (shared by the sequential and progressive paths)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
     planes = []
     for c in comps:
         samples = idct_islow_blocks(c.blocks, qt[c.tq])  # (n, 8, 8)
@@ -544,6 +573,232 @@ def _decode_block(
             raise ValueError("AC index overrun")
         block[ZIGZAG[k]] = _extend(reader.receive(s), s)
         k += 1
+
+
+# --- progressive scans (jdphuff.c semantics) ---------------------------------
+
+
+def _alloc_blocks(comps: list[_Component], width: int, height: int) -> None:
+    """Full-image coefficient storage at the interleaved-MCU padded grid
+    (progressive scans accumulate into it across the whole stream)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c.bw = mcus_x * c.h
+        c.bh = mcus_y * c.v
+        c.blocks = np.zeros((c.bh * c.bw, 64), np.int64)
+        c.pred = 0
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Advance past the remaining entropy bytes to the next real marker
+    (skipping 0xFF00 stuffing, fill bytes and stray RSTn)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00:
+            pos += 2
+        elif nxt == 0xFF:
+            pos += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        else:
+            return pos
+    return n
+
+
+class _ProgState:
+    __slots__ = ("eobrun",)
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+
+
+def _dc_first_block(reader, block, dc, comp, al) -> None:
+    t = reader.decode(dc)
+    diff = _extend(reader.receive(t), t)
+    comp.pred += diff
+    block[0] = comp.pred << al
+
+
+def _dc_refine_block(reader, block, al) -> None:
+    if reader.receive(1):
+        block[0] |= 1 << al  # jdphuff: OR the new bit in, never add
+
+
+def _ac_first_block(reader, block, ac, ss, se, al, st: _ProgState) -> None:
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac)
+        r, s = rs >> 4, rs & 15
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC index overrun in progressive scan")
+            block[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += reader.receive(r)
+                break
+            k += 16  # ZRL
+
+
+def _ac_refine_block(reader, block, ac, ss, se, al, st: _ProgState) -> None:
+    """jdphuff decode_mcu_AC_refine: correction bits for already-nonzero
+    coefficients, ±1<<Al for newly-nonzero ones, EOB-run handling.  A
+    correction bit is READ for every nonzero-history coefficient passed,
+    applied only when the Al bit is still clear."""
+    p1 = 1 << al
+    m1 = (-1) << al
+
+    def refine(k: int) -> None:
+        pos = ZIGZAG[k]
+        coef = int(block[pos])
+        if coef != 0:
+            if reader.receive(1) and (coef & p1) == 0:
+                block[pos] = coef + (p1 if coef >= 0 else m1)
+
+    k = ss
+    if st.eobrun > 0:  # block inside an EOB run: refinement only
+        st.eobrun -= 1
+        while k <= se:
+            refine(k)
+            k += 1
+        return
+    while k <= se:
+        rs = reader.decode(ac)
+        r, s = rs >> 4, rs & 15
+        if s:
+            if s != 1:
+                raise ValueError("bad AC refinement symbol")
+            val = p1 if reader.receive(1) else m1
+        elif r != 15:
+            # EOB: this block consumes one run slot; rest of band refines
+            st.eobrun = (1 << r) - 1
+            if r:
+                st.eobrun += reader.receive(r)
+            while k <= se:
+                refine(k)
+                k += 1
+            return
+        else:
+            val = 0  # ZRL: skip 16 zero-history positions
+        # advance past r zero-HISTORY coefficients, reading correction
+        # bits for every nonzero-history coefficient passed on the way
+        while k <= se:
+            pos = ZIGZAG[k]
+            coef = int(block[pos])
+            if coef != 0:
+                if reader.receive(1) and (coef & p1) == 0:
+                    block[pos] = coef + (p1 if coef >= 0 else m1)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if s and k <= se:
+            block[ZIGZAG[k]] = val
+        k += 1
+
+
+def _prog_scan(
+    data: bytes,
+    pos: int,
+    scan: list[_Component],
+    comps: list[_Component],
+    dc_tabs: dict[int, _Huff],
+    ac_tabs: dict[int, _Huff],
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    width: int,
+    height: int,
+) -> int:
+    """Decode one progressive scan into the persistent coefficient arrays;
+    returns the byte offset of the marker that follows the scan."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("AC progressive scan must be non-interleaved")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError(f"bad spectral range {ss}..{se}")
+    units = _scan_units(scan, comps, width, height)
+
+    reader = _BitReader(data, pos)
+    st = _ProgState()
+    rst = 0
+    for m, unit in enumerate(units):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart(rst)
+            rst = (rst + 1) & 7
+            st.eobrun = 0
+            for c in comps:
+                c.pred = 0
+        for c, block_ix in unit:
+            block = c.blocks[block_ix]
+            if ss == 0:
+                if ah == 0:
+                    _dc_first_block(reader, block, dc_tabs[c.td], c, al)
+                else:
+                    _dc_refine_block(reader, block, al)
+            else:
+                if ah == 0:
+                    _ac_first_block(reader, block, ac_tabs[c.ta], ss, se, al, st)
+                else:
+                    _ac_refine_block(reader, block, ac_tabs[c.ta], ss, se, al, st)
+    return _next_marker_pos(data, reader.pos)
+
+
+def _scan_units(
+    scan: list[_Component], comps: list[_Component], width: int, height: int
+) -> list:
+    """The ordered data units of a scan: interleaved MCUs (each a list of
+    (comp, block_index)) when the scan covers >1 component, else the
+    single component's blocks over its CEIL grid — ceil(downsampled/8),
+    which can be smaller than the MCU-padded storage grid; the row stride
+    into storage is the padded c.bw (spec G.1/A.2)."""
+    if len(scan) > 1:
+        c0 = scan[0]
+        mcus_x = c0.bw // c0.h
+        mcus_y = c0.bh // c0.v
+        units = []
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            unit = [
+                (c, (my * c.v + by) * c.bw + (mx * c.h + bx))
+                for c in scan
+                for by in range(c.v)
+                for bx in range(c.h)
+            ]
+            units.append(unit)
+        return units
+    c = scan[0]
+    hmax = max(x.h for x in comps)
+    vmax = max(x.v for x in comps)
+    cw = (width * c.h + hmax - 1) // hmax  # downsampled pixel dims
+    ch = (height * c.v + vmax - 1) // vmax
+    cw_blocks = (cw + 7) // 8
+    ch_blocks = (ch + 7) // 8
+    return [
+        [(c, row * c.bw + col)]
+        for row in range(ch_blocks)
+        for col in range(cw_blocks)
+    ]
 
 
 # --- encoder -----------------------------------------------------------------

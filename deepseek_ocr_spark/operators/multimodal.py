@@ -13,12 +13,12 @@ Three tiers:
 2. ``decode_image_meta`` — the oracle-checkable plumbing exerciser: fake
    dims from the payload md5 (pure hash arithmetic ⇒ exact DuckDB oracle),
    proving schema/batching/partitioning end-to-end.
-3. ``_real_decode`` — PIXEL decode: PNG native (stdlib kernel); JPEG/GIF
-   behind the PIL codec gate (``codecs_available``), raising a clear
-   NotImplementedError in this codec-less container; the decoder is
-   injectable so the codec-present path is testable as an interface, and
-   tests/test_jpeg_codec.py exercises the real lane on codec-present
-   images (self-skips here, same style as the Iceberg jar gate).
+3. ``_real_decode`` — PIXEL decode: PNG, JPEG (baseline + progressive)
+   and GIF native (stdlib kernels, r5); arithmetic-coded JPEG / BMP
+   pixels behind the PIL codec gate (``codecs_available``), raising a
+   clear NotImplementedError in this codec-less container; the decoder
+   is injectable so the codec-present path is testable as an interface
+   (tests/test_jpeg_codec.py, same gate style as the Iceberg jar gate).
 """
 
 from __future__ import annotations
@@ -32,13 +32,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# PNG pixel decode is NATIVE (kernels/pixels.py, pure stdlib zlib). Other
-# formats (JPEG/GIF entropy decode, video frames) need a native codec:
-# _real_decode uses PIL when importable; tests/test_jpeg_codec.py exercises
-# that lane on codec-present images and self-skips here (gate style of
-# test_iceberg). Format matrix: PNG = native pixels; JPEG/GIF/BMP =
-# header metadata native (sniff_image_meta) + pixels via PIL gate; video =
-# metadata/frame-plan only (ffmpeg gate, out of sandbox scope).
+# Format matrix (r5): PNG / baseline+progressive JPEG / GIF = NATIVE
+# pixels (stdlib kernels); BMP + arithmetic-coded JPEG = header metadata
+# native (sniff_image_meta), pixels via the PIL gate; audio = native WAV
+# build/parse/features (kernels/wav.py); video = metadata/frame-plan only
+# (ffmpeg gate, out of sandbox scope).
 
 
 def codecs_available() -> bool:

@@ -59,11 +59,11 @@ def test_encode_jpeg_drops_alpha():
     assert jpeg_kernel.decode_jpeg(data)[:3] == (12, 9, 1)
 
 
-def _progressive_stub() -> bytes:
-    """Minimal SOF2 (progressive) stream — enough to reach the SOF marker."""
+def _arithmetic_stub() -> bytes:
+    """Minimal SOF9 (arithmetic-coded) stream — enough to reach the SOF."""
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    out += struct.pack(">BBH", 0xFF, 0xC2, len(sof) + 2) + sof
+    out += struct.pack(">BBH", 0xFF, 0xC9, len(sof) + 2) + sof
     return bytes(out)
 
 
@@ -71,15 +71,15 @@ def _progressive_stub() -> bytes:
     _HAS_PIL, reason="codec present — the gate path is for codec-less environments"
 )
 def test_codec_gate_raises_clearly_without_codec():
-    """The narrowed sandbox gate: PROGRESSIVE JPEG and BMP pixel decode
-    still need a native codec and raise a NotImplementedError naming it
-    (PNG/baseline-JPEG/GIF are all native r5); corrupt JPEG/GIF raise
-    ValueError (a decoder error, not a gate)."""
+    """The narrowed sandbox gate: ARITHMETIC-coded JPEG and BMP pixel
+    decode still need a native codec and raise a NotImplementedError
+    naming it (PNG / baseline+progressive JPEG / GIF are all native r5);
+    corrupt JPEG/GIF raise ValueError (a decoder error, not a gate)."""
     from deepseek_ocr_spark.operators.multimodal import _real_decode, codecs_available
 
     assert not codecs_available()
     with pytest.raises(NotImplementedError, match="native codec"):
-        _real_decode(_progressive_stub())
+        _real_decode(_arithmetic_stub())
     with pytest.raises(NotImplementedError, match="native codec"):
         _real_decode(b"BM" + bytes(30))  # BMP: metadata-only natively
     with pytest.raises(ValueError):
