@@ -113,6 +113,17 @@ def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
 
 
 def decode_gif(data: bytes) -> Image:
+    """Hostile-input contract: any corrupt stream raises ValueError, never
+    a deep parse exception (see decode_jpeg's twin wrapper)."""
+    try:
+        return _decode_gif_checked(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"corrupt GIF stream ({type(e).__name__})") from e
+
+
+def _decode_gif_checked(data: bytes) -> Image:
     """First frame → (width, height, 3, RGB bytes) at the LOGICAL SCREEN
     size; the frame is composited at its (left, top) offset over the
     background color (index from the logical screen descriptor)."""

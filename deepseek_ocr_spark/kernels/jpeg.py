@@ -335,6 +335,20 @@ class _Component:
 
 
 def decode_jpeg(data: bytes) -> Image:
+    """Hostile-input contract: ANY corrupt stream raises ValueError (the
+    mapInPandas stages' drop rule catches exactly that) — deep parse
+    failures (short buffers, dangling table ids, insane bit counts) must
+    never escape as struct.error/KeyError/IndexError/OverflowError and
+    kill a task.  See `_decode_jpeg_checked`."""
+    try:
+        return _decode_jpeg_checked(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_checked(data: bytes) -> Image:
     """Decode JPEG bytes → pixels.Image tuple (w, h, ch, buf); ch = 1
     (grayscale) or 3 (RGB from YCbCr).  Handles baseline/extended
     sequential (SOF0/SOF1) AND progressive (SOF2, r5 — spectral selection,

@@ -177,3 +177,28 @@ def test_decode_matches_pil():
     with PIL_Image.open(io.BytesIO(data)) as im:
         expected = im.convert("RGB").tobytes()
     assert decode_gif(data)[3] == expected
+
+
+def test_mutation_fuzz_raises_only_value_error():
+    """Same hostile-input contract as the JPEG decoder: corrupt variants
+    of a valid GIF raise ValueError only."""
+    rng = np.random.RandomState(2)
+    base = build_gif(8, 6, PAL4, [i % 4 for i in range(48)])
+    for trial in range(600):
+        data = bytearray(base)
+        mode = trial % 4
+        if mode < 2:
+            for _ in range(rng.randint(1, 6)):
+                data[rng.randint(0, len(data))] = rng.randint(0, 256)
+        elif mode == 2:
+            data = data[: rng.randint(4, len(data))]
+        else:
+            at = rng.randint(0, len(data))
+            data = (data[:at]
+                    + bytes(rng.randint(0, 256, rng.randint(1, 40),
+                                        dtype=np.uint8).tolist())
+                    + data[at:])
+        try:
+            decode_gif(bytes(data))
+        except ValueError:
+            pass

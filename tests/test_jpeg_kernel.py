@@ -476,3 +476,32 @@ def test_pil_opens_our_encode():
         assert (im.width, im.height) == (29, 18)
         pil_pixels = im.convert("RGB").tobytes()
     assert decode_jpeg(data)[3] == pil_pixels  # same decoder arithmetic
+
+
+def test_mutation_fuzz_raises_only_value_error():
+    """Hostile-input contract (the vision stages' drop rule catches
+    ValueError ONLY): byte-flipped / truncated / spliced variants of a
+    valid stream must never escape with struct.error, KeyError,
+    IndexError or OverflowError and kill a task."""
+    from tests.test_pixels import gradient
+
+    rng = np.random.RandomState(1)
+    base = encode_jpeg_baseline(gradient(24, 16, 3), quality=80)
+    for trial in range(600):
+        data = bytearray(base)
+        mode = trial % 4
+        if mode < 2:
+            for _ in range(rng.randint(1, 6)):
+                data[rng.randint(0, len(data))] = rng.randint(0, 256)
+        elif mode == 2:
+            data = data[: rng.randint(4, len(data))]
+        else:
+            at = rng.randint(0, len(data))
+            data = (data[:at]
+                    + bytes(rng.randint(0, 256, rng.randint(1, 40),
+                                        dtype=np.uint8).tolist())
+                    + data[at:])
+        try:
+            decode_jpeg(bytes(data))
+        except (ValueError, NotImplementedError):
+            pass  # the only allowed failure modes
