@@ -666,6 +666,11 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: multimodal.audio_frame_energy(_docs(s, d)),
         multimodal.audio_frame_energy_sql(),
     ),
+    # video lane (r5): REAL MP4 box-tree build → re-parse, closed-form oracle
+    "video_meta": (
+        lambda s, d: multimodal.video_meta(_docs(s, d)),
+        multimodal.video_meta_sql(),
+    ),
     # training-data pipeline ops (r5): PII redaction, benchmark
     # decontamination, sequence packing — all pure Catalyst
     "pii_scrub": (
@@ -745,14 +750,14 @@ _DRIVER_HEAD: list[str] = [
     "metrics_rollup",
     "metrics_cube",
     "metrics_rollup_salted",
-    "corpus_clean",
-    # (d) new in r5 — never driver-checked (displaced the last five
+    # (d) new in r5 — never driver-checked (displaced the last six
     # r4-green fillers; those rest on their r4 rows + the local gate)
     "pii_scrub",
     "contamination_3gram",
     "seq_pack",
     "audio_meta",
     "audio_frame_energy",
+    "video_meta",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -605,3 +605,68 @@ SELECT doc_id, CAST(j AS INT) AS frame_ix,
        CAST(CASE WHEN j < reps // 2 THEN 2 * e32 ELSE e32 END AS BIGINT) AS energy
 FROM base, LATERAL unnest(range((reps + 1) // 2)) AS t(j)
 """
+
+
+# --- video lane (real MP4 container build → parse) ----------------------------
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _video_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from deepseek_ocr_spark.kernels import mp4
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "brand", "duration_ms", "n_tracks", "width", "height",
+        )}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            n = len(text)
+            data = mp4.build_mp4(
+                width=160 + (n % 7) * 16,
+                height=90 + (n % 5) * 18,
+                duration=1000 + 40 * (n % 50),
+                n_audio_tracks=n % 3,
+            )
+            m = mp4.parse_mp4_meta(data)
+            rows["doc_id"].append(int(doc_id))
+            rows["brand"].append(m["brand"])
+            rows["duration_ms"].append(m["duration_ms"])
+            rows["n_tracks"].append(m["n_tracks"])
+            rows["width"].append(m["width"])
+            rows["height"].append(m["height"])
+        yield pd.DataFrame(rows) if rows["doc_id"] else pd.DataFrame(
+            {k: pd.Series([], dtype=object) for k in rows}
+        )
+
+
+def video_meta(docs: DataFrame) -> DataFrame:
+    """(doc_id, brand, duration_ms, n_tracks, width, height) — REAL MP4
+    container bytes built per doc (kernels/mp4.py writer) and REALLY
+    re-parsed through the box walker; closed-form oracle from
+    length(text) (the audio_meta pattern, applied to video)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        _video_meta_batches, VIDEO_META_SCHEMA
+    )
+
+
+def video_meta_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       'isom' AS brand,
+       CAST(1000 + 40 * (length(text) % 50) AS BIGINT) AS duration_ms,
+       CAST(1 + length(text) % 3 AS INT) AS n_tracks,
+       CAST(160 + (length(text) % 7) * 16 AS INT) AS width,
+       CAST(90 + (length(text) % 5) * 18 AS INT) AS height
+FROM {table} WHERE text IS NOT NULL
+"""

@@ -58,6 +58,7 @@ EDGE_QUERIES = [
     "seq_pack",
     "audio_meta",
     "audio_frame_energy",
+    "video_meta",
 ]
 
 QUERIES = entry_mod.queries()
