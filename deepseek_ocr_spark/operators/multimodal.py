@@ -13,9 +13,9 @@ Three tiers:
 2. ``decode_image_meta`` — the oracle-checkable plumbing exerciser: fake
    dims from the payload md5 (pure hash arithmetic ⇒ exact DuckDB oracle),
    proving schema/batching/partitioning end-to-end.
-3. ``_real_decode`` — PIXEL decode: PNG, JPEG (baseline + progressive)
-   and GIF native (stdlib kernels, r5); arithmetic-coded JPEG / BMP
-   pixels behind the PIL codec gate (``codecs_available``), raising a
+3. ``_real_decode`` — PIXEL decode: PNG, JPEG (baseline + progressive),
+   GIF and uncompressed BMP native (stdlib kernels, r5); arithmetic-coded
+   JPEG / RLE BMP / other formats behind the PIL codec gate (``codecs_available``), raising a
    clear NotImplementedError in this codec-less container; the decoder
    is injectable so the codec-present path is testable as an interface
    (tests/test_jpeg_codec.py, same gate style as the Iceberg jar gate).
@@ -32,11 +32,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Format matrix (r5): PNG / baseline+progressive JPEG / GIF = NATIVE
-# pixels (stdlib kernels); BMP + arithmetic-coded JPEG = header metadata
-# native (sniff_image_meta), pixels via the PIL gate; audio = native WAV
-# build/parse/features (kernels/wav.py); video = metadata/frame-plan only
-# (ffmpeg gate, out of sandbox scope).
+# Format matrix (r5): PNG / baseline+progressive JPEG / GIF /
+# uncompressed BMP = NATIVE pixels (stdlib kernels); arithmetic-coded
+# JPEG, RLE BMP and formats outside the matrix (WEBP/TIFF) = header
+# metadata where sniffable, pixels via the PIL gate; audio = native WAV
+# build/parse/features (kernels/wav.py); video = native MP4 box-tree
+# metadata (kernels/mp4.py), frame decode via ffmpeg gate.
 
 
 def codecs_available() -> bool:
@@ -51,12 +52,12 @@ def codecs_available() -> bool:
 
 
 def _real_decode(data: bytes) -> tuple[int, int, int]:
-    """Real pixel decode: PNG, baseline JPEG and GIF via the stdlib
-    kernels (kernels/pixels.py, kernels/jpeg.py, kernels/gif.py);
-    progressive/exotic JPEG and other formats via PIL when present, else
-    a clear NotImplementedError (metadata for those still comes from
+    """Real pixel decode: PNG, JPEG (baseline + progressive), GIF and
+    uncompressed BMP via the stdlib kernels; arithmetic-coded JPEG, RLE
+    BMP and other formats via PIL when present, else a clear
+    NotImplementedError (metadata for those still comes from
     sniff_image_meta)."""
-    from deepseek_ocr_spark.kernels import gif, jpeg, pixels
+    from deepseek_ocr_spark.kernels import bmp, gif, jpeg, pixels
 
     data = bytes(data)
     if data[:8] == pixels.PNG_SIG:
@@ -65,6 +66,12 @@ def _real_decode(data: bytes) -> tuple[int, int, int]:
     if data[:6] in (b"GIF87a", b"GIF89a"):
         w, h, c, _buf = gif.decode_gif(data)
         return w, h, c
+    if data[:2] == b"BM":
+        try:
+            w, h, c, _buf = bmp.decode_bmp(data)
+            return w, h, c
+        except NotImplementedError:
+            pass  # RLE / exotic depth — fall through to the PIL gate
     if data[:2] == b"\xff\xd8":
         try:
             w, h, c, _buf = jpeg.decode_jpeg(data)

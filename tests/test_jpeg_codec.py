@@ -71,18 +71,21 @@ def _arithmetic_stub() -> bytes:
     _HAS_PIL, reason="codec present — the gate path is for codec-less environments"
 )
 def test_codec_gate_raises_clearly_without_codec():
-    """The narrowed sandbox gate: ARITHMETIC-coded JPEG and BMP pixel
-    decode still need a native codec and raise a NotImplementedError
-    naming it (PNG / baseline+progressive JPEG / GIF are all native r5);
-    corrupt JPEG/GIF raise ValueError (a decoder error, not a gate)."""
+    """The narrowed sandbox gate: ARITHMETIC-coded JPEG, RLE BMP and
+    formats outside the native matrix (e.g. WEBP/TIFF) still need a
+    native codec and raise a NotImplementedError naming it (PNG /
+    baseline+progressive JPEG / GIF / uncompressed BMP are all native
+    r5); corrupt streams raise ValueError (a decoder error, not a gate)."""
     from deepseek_ocr_spark.operators.multimodal import _real_decode, codecs_available
 
     assert not codecs_available()
     with pytest.raises(NotImplementedError, match="native codec"):
         _real_decode(_arithmetic_stub())
     with pytest.raises(NotImplementedError, match="native codec"):
-        _real_decode(b"BM" + bytes(30))  # BMP: metadata-only natively
+        _real_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 " + bytes(20))
     with pytest.raises(ValueError):
         _real_decode(b"\xff\xd8\xff\xe0 fake jpeg")
     with pytest.raises(ValueError):
         _real_decode(b"GIF89a" + bytes(20))
+    with pytest.raises(ValueError):
+        _real_decode(b"BM" + bytes(30))  # corrupt BMP, native decode
