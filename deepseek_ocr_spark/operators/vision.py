@@ -44,20 +44,25 @@ from deepseek_ocr_spark.kernels.tiling import tile_plan
 
 
 def _decode_image(data: bytes):
-    """Sniff-and-decode a binary image payload: PNG via the stdlib kernel,
-    baseline JPEG via kernels/jpeg.py (r5 — the reference's eval corpus IS
-    JPEG, run_dpsk_ocr_eval_batch.py:101-107, so the Gundam path accepts it
-    natively now).  ValueError on anything undecodable (the hostile-payload
-    drop rule); NotImplementedError (progressive/exotic JPEG needing a
-    native codec) propagates loudly like the encode-side gate."""
-    from deepseek_ocr_spark.kernels import jpeg as jpeg_kernel
+    """Sniff-and-decode a binary image payload through the full native
+    matrix (r5): PNG, JPEG baseline+progressive (the reference's eval
+    corpus IS JPEG, run_dpsk_ocr_eval_batch.py:101-107), GIF and
+    uncompressed BMP.  ValueError on anything undecodable (the
+    hostile-payload drop rule); NotImplementedError (arithmetic JPEG /
+    RLE BMP needing a native codec) propagates loudly like the
+    encode-side gate."""
+    from deepseek_ocr_spark.kernels import bmp, gif, jpeg as jpeg_kernel
 
     data = bytes(data)
     if data[:8] == pixels.PNG_SIG:
         return pixels.decode_png(data)
     if data[:2] == b"\xff\xd8":
         return jpeg_kernel.decode_jpeg(data)
-    raise ValueError("not a PNG or JPEG payload")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif.decode_gif(data)
+    if data[:2] == b"BM":
+        return bmp.decode_bmp(data)
+    raise ValueError("not a PNG/JPEG/GIF/BMP payload")
 
 
 def _is_null_image(img) -> bool:

@@ -176,3 +176,31 @@ def test_global_view_and_region_crop_accept_jpeg(spark):
     r = region_crops(rdf).collect()
     assert len(r) == 1
     assert pixels.decode_png(bytes(r[0]["crop_png"])) == pixels.crop(img, (5, 5, 25, 30))
+
+
+def test_tiles_accept_gif_and_bmp_input(spark):
+    """The full native format matrix flows through the Gundam path."""
+    from tests.test_gif_kernel import PAL4, build_gif
+    from tests.test_bmp import build_bmp
+    from deepseek_ocr_spark.kernels import bmp as bmp_kernel, gif as gif_kernel
+
+    gif_bytes = build_gif(130, 70, PAL4, [(x // 16) % 4 for _ in range(70) for x in range(130)])
+    bmp_rows = [bytes(range(130 * 3 % 256)) * 0 + bytes([(x * 2) % 256 for x in range(130 * 3)])
+                for _ in range(70)]
+    bmp_bytes = build_bmp(130, 70, 24, bmp_rows)
+    df = spark.createDataFrame(
+        [(1, gif_bytes), (2, bmp_bytes)], "doc_id LONG, png BINARY"
+    )
+    out = gundam_tiles(df, image_size=SZ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    nw, nh = tile_plan(130, 70, True, image_size=SZ)
+    assert len(by_doc[1]) == nw * nh and len(by_doc[2]) == nw * nh
+    # pixels must equal the direct kernel pipeline on the decoded image
+    for doc_id, img in ((1, gif_kernel.decode_gif(gif_bytes)),
+                        (2, bmp_kernel.decode_bmp(bmp_bytes))):
+        rows = sorted(by_doc[doc_id], key=lambda r: r["tile_ix"])
+        expected = pixels.dynamic_tiles(img, nw, nh, SZ)
+        for row, exp in zip(rows, expected):
+            assert pixels.decode_png(bytes(row["tile_png"])) == exp
