@@ -57,10 +57,33 @@ def test_bgrx32_drops_filler():
     assert [tuple(buf[0:3]), tuple(buf[3:6])] == [(30, 20, 10), (60, 50, 40)]
 
 
+def test_rle8_runs_eol_delta_absolute():
+    """Hand-built RLE8: encoded run, absolute mode (word-padded), delta
+    skip (cells stay index 0), end-of-line, end-of-bitmap."""
+    rle = bytes([
+        3, 1,               # run: 3x palette[1]
+        0, 3, 2, 3, 2, 0,   # absolute: 3 literals (2,3,2) + explicit pad
+        0, 0,               # end of line
+        0, 2, 2, 0,         # delta: skip 2 cells on row 1
+        2, 3,               # run: 2x palette[3]
+        0, 1,               # end of bitmap
+    ])
+    pix_off = 14 + 40 + 4 * 4
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + len(rle), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 6, 2, 1, 8, 1, len(rle), 0, 0, 4, 0)
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in PAL)
+    w, h, ch, buf = decode_bmp(hdr + info + pal + rle)
+    assert (w, h, ch) == (6, 2, 3)
+    grid = [tuple(buf[3 * i : 3 * i + 3]) for i in range(12)]
+    # bottom-up: stored row 0 is DISPLAY row 1
+    assert grid[6:12] == [PAL[1]] * 3 + [PAL[2], PAL[3], PAL[2]]
+    assert grid[0:6] == [PAL[0], PAL[0], PAL[3], PAL[3], PAL[0], PAL[0]]
+
+
 def test_unsupported_and_corrupt():
-    with pytest.raises(NotImplementedError):  # RLE8
+    with pytest.raises(NotImplementedError):  # RLE4
         bad = bytearray(build_bmp(2, 2, 8, [b"\x00\x00", b"\x00\x00"], palette=PAL))
-        bad[30] = 1
+        bad[30] = 2
         decode_bmp(bytes(bad))
     with pytest.raises(ValueError):
         decode_bmp(b"BM" + bytes(20))
