@@ -119,7 +119,7 @@ def decode_gif(data: bytes) -> Image:
         return _decode_gif_checked(data)
     except ValueError:
         raise
-    except (struct.error, IndexError, KeyError, OverflowError) as e:
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as e:
         raise ValueError(f"corrupt GIF stream ({type(e).__name__})") from e
 
 
@@ -134,6 +134,11 @@ def _decode_gif_checked(data: bytes) -> Image:
     sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
     if sw == 0 or sh == 0:
         raise ValueError("zero-size GIF screen")
+    # same 1<<28-pixel sanity bound as decode_bmp: a ~40-byte header must
+    # not be able to demand a multi-GB allocation (MemoryError escapes the
+    # ValueError-only hostile-input contract)
+    if sw * sh > 1 << 28:
+        raise ValueError("GIF logical screen exceeds sanity bound")
     gct, pos = _color_table(data, 13, flags)
     while pos < len(data):
         b = data[pos]

@@ -344,7 +344,7 @@ def decode_jpeg(data: bytes) -> Image:
         return _decode_jpeg_checked(data)
     except (ValueError, NotImplementedError):
         raise
-    except (struct.error, IndexError, KeyError, OverflowError) as e:
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as e:
         raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
 
 
@@ -403,6 +403,11 @@ def _decode_jpeg_checked(data: bytes) -> Image:
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
             height, width = struct.unpack(">HH", seg[1:5])
+            # 1<<28-pixel sanity bound (shared with decode_bmp/decode_gif):
+            # without it a ~100-byte SOF can demand tens of GB of
+            # coefficient storage before any entropy data is read
+            if width * height > 1 << 28:
+                raise ValueError("JPEG dims exceed sanity bound")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")

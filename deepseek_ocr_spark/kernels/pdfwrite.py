@@ -44,6 +44,12 @@ class PdfPage:
 
 
 def _esc(s: str) -> str:
+    """PDF literal-string escape.  Non-latin-1 characters are replaced
+    with '?' — the content stream is encoded latin-1 (WinAnsi-adjacent,
+    what /F1 Helvetica can address) and a CJK span label must degrade the
+    LABEL, never UnicodeEncodeError out of the per-doc assemble UDF and
+    kill the task."""
+    s = s.encode("latin-1", errors="replace").decode("latin-1")
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 

@@ -53,9 +53,9 @@ def codecs_available() -> bool:
 
 def _real_decode(data: bytes) -> tuple[int, int, int]:
     """Real pixel decode: PNG, JPEG (baseline + progressive), GIF and
-    uncompressed BMP via the stdlib kernels; arithmetic-coded JPEG, RLE
-    BMP and other formats via PIL when present, else a clear
-    NotImplementedError (metadata for those still comes from
+    BMP (1/4/8/24/32-bit, RLE8, RLE4) via the stdlib kernels;
+    arithmetic-coded JPEG and exotic headers via PIL when present, else a
+    clear NotImplementedError (metadata for those still comes from
     sniff_image_meta)."""
     from deepseek_ocr_spark.kernels import bmp, gif, jpeg, pixels
 

@@ -89,6 +89,51 @@ def _grams(col: str = "text"):
     ).otherwise(F.array())
 
 
+def _token_hashes(col: str = "text"):
+    """array<bigint> of per-TOKEN 60-bit md5 hashes.
+    conv(substr(md5(t),1,15),16,10) in Spark ≡
+    ('0x' || substr(md5(t),1,15))::BIGINT in DuckDB (15 hex chars < 2^60,
+    unsigned in both engines — same parity trick as bloom_membership /
+    stratified_sample)."""
+    toks = F.filter(F.split(F.col(col), " "), lambda t: t != "")
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+
+
+def _rot60(c, s: int):
+    """60-bit left rotation via masked shifts — the mask keeps every
+    intermediate < 2^60 so DuckDB's checked BIGINT shift cannot overflow
+    (the mirrored SQL uses the identical expression)."""
+    lo = (1 << (60 - s)) - 1
+    return F.shiftleft(c.bitwiseAND(F.lit(lo)), s).bitwiseOR(F.shiftright(c, 60 - s))
+
+
+def _gram_digest_exprs(hcol):
+    """array<bigint> of 60-bit n-gram digests over a MATERIALIZED
+    token-hash column: digest(i) = h[i] ⊕ rot20(h[i+1]) ⊕ rot40(h[i+2]).
+    The position-dependent rotations make the combination order-sensitive;
+    collisions are ~2^-60 per distinct-gram pair and BOTH engines compute
+    the identical digest, so oracle parity is exact.
+
+    hcol MUST be a projected column, not the _token_hashes expression
+    inline: element_at over an inline transform re-evaluates the whole
+    transform per element (measured: 79s vs 0.64s at sf0.1 — O(n²) in doc
+    length).  Catalyst's CollapseProject keeps the two projections apart
+    because the alias is referenced many times and is non-trivial."""
+    n = F.size(hcol)
+    return F.when(
+        n >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (NGRAM_N - 1)),
+            lambda i: F.element_at(hcol, i)
+            .bitwiseXOR(_rot60(F.element_at(hcol, i + F.lit(1)), 20))
+            .bitwiseXOR(_rot60(F.element_at(hcol, i + F.lit(2)), 40)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def contamination_flags(
     docs: DataFrame, bench_mod: int = BENCH_MOD, n: int = NGRAM_N
 ) -> DataFrame:
@@ -97,20 +142,24 @@ def contamination_flags(
     the held-out benchmark set (here: doc_id % bench_mod == 0) is flagged;
     n_hits counts DISTINCT shared n-grams.  The benchmark gram set is
     small by construction → broadcast; the corpus crosses the network
-    once, aggregated per doc."""
-    assert n == NGRAM_N, "gram width is baked into the shared _grams expr"
+    once, aggregated per doc.  Every distinct/broadcast/join/agg is keyed
+    on a 60-bit gram DIGEST (see _gram_digest_exprs) — md5 cost is linear
+    in TOKENS (hashed once each, never per gram), no gram string is ever
+    materialized, and the exchanged payload is BIGINTs, not ~25-byte
+    strings."""
+    assert n == NGRAM_N, "gram width is baked into the shared digest exprs"
     is_bench = F.col("doc_id") % bench_mod == 0
-    bench_grams = (
-        docs.filter(is_bench)
-        .select(F.explode(_grams()).alias("gram"))
-        .distinct()
+    hdf = docs.select("doc_id", _token_hashes().alias("h"))
+    grams = hdf.select(
+        "doc_id", F.explode(_gram_digest_exprs(F.col("h"))).alias("g")
     )
+    bench_grams = grams.filter(is_bench).select("g").distinct()
     corpus = docs.filter(~is_bench)
     hits = (
-        corpus.select("doc_id", F.explode(_grams()).alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("n_hits"))
+        .agg(F.countDistinct("g").alias("n_hits"))
     )
     return (
         corpus.select("doc_id")
@@ -126,28 +175,39 @@ def contamination_flags(
 def contamination_flags_sql(
     table: str = "documents", bench_mod: int = BENCH_MOD, n: int = NGRAM_N
 ) -> str:
+    # mirrors _token_hashes + _gram_digest_exprs bit-for-bit: 60-bit token
+    # md5 window, position-rotated XOR combine (masked shifts keep every
+    # intermediate < 2^60 — DuckDB BIGINT shifts are overflow-checked)
+    rot20 = f"((((h[i+1]) & {(1 << 40) - 1}) << 20) | ((h[i+1]) >> 40))"
+    rot40 = f"((((h[i+2]) & {(1 << 20) - 1}) << 40) | ((h[i+2]) >> 20))"
     return f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
   FROM {table}
 ),
-grams AS (
+tokh AS (
   SELECT doc_id,
-         unnest(CASE WHEN len(tk) >= {n}
-                THEN list_transform(range(1, len(tk) - {n} + 2),
-                                    i -> array_to_string(tk[i:i+{n - 1}], ' '))
-                ELSE [] END) AS gram
+         list_transform(tk,
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS h
   FROM toks
 ),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(h) >= {n}
+                THEN list_transform(range(1, len(h) - {n} + 2),
+                     i -> xor(xor(h[i], {rot20}), {rot40}))
+                ELSE [] END) AS g
+  FROM tokh
+),
 bench AS (
-  SELECT DISTINCT gram FROM grams WHERE doc_id % {bench_mod} = 0
+  SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0
 ),
 corpus AS (SELECT doc_id FROM {table} WHERE doc_id % {bench_mod} != 0),
 hits AS (
-  SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
-  FROM grams g JOIN bench b USING (gram)
-  WHERE g.doc_id % {bench_mod} != 0
-  GROUP BY g.doc_id
+  SELECT gr.doc_id, count(DISTINCT gr.g) AS n_hits
+  FROM grams gr JOIN bench b USING (g)
+  WHERE gr.doc_id % {bench_mod} != 0
+  GROUP BY gr.doc_id
 )
 SELECT c.doc_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,

@@ -47,10 +47,12 @@ def _decode_image(data: bytes):
     """Sniff-and-decode a binary image payload through the full native
     matrix (r5): PNG, JPEG baseline+progressive (the reference's eval
     corpus IS JPEG, run_dpsk_ocr_eval_batch.py:101-107), GIF and
-    uncompressed BMP.  ValueError on anything undecodable (the
-    hostile-payload drop rule); NotImplementedError (arithmetic JPEG /
-    RLE BMP needing a native codec) propagates loudly like the
-    encode-side gate."""
+    BMP (1/4/8/24/32-bit + RLE8/RLE4).  ValueError on anything
+    undecodable (the hostile-payload drop rule); NotImplementedError
+    (arithmetic JPEG / exotic headers needing a native codec) propagates
+    — the batch lanes DROP it like a hostile payload (one unsupported
+    variant in a crawl must not kill the task), while the encode side
+    stays loud."""
     from deepseek_ocr_spark.kernels import bmp, gif, jpeg as jpeg_kernel
 
     data = bytes(data)
@@ -102,8 +104,8 @@ def _tile_batches(
                     continue  # NULL payload (e.g. join miss) — drop, don't crash
                 try:
                     img = _decode_image(data)
-                except ValueError:  # hostile-payload rule
-                    continue
+                except (ValueError, NotImplementedError):
+                    continue  # hostile-payload rule; unsupported variant → drop
                 if drop_null_images and _is_null_image(img):
                     continue  # opt-in all-black skip (see _is_null_image)
                 w, h = img[0], img[1]
@@ -169,8 +171,8 @@ def _view_batches(base_size: int, drop_null_images: bool = False):
                     continue
                 try:
                     img = _decode_image(data)
-                except ValueError:
-                    continue
+                except (ValueError, NotImplementedError):
+                    continue  # hostile-payload rule; unsupported variant → drop
                 if drop_null_images and _is_null_image(img):
                     continue  # opt-in all-black skip (see _is_null_image)
                 rows["doc_id"].append(int(doc_id))
@@ -240,11 +242,14 @@ def _region_batches(fmt: str = "png"):
                     continue
                 try:
                     img = _decode_image(data)
+                except (ValueError, NotImplementedError):
+                    continue  # hostile-payload rule; unsupported variant → drop
+                try:
                     c = pixels.crop(img, (int(x1), int(y1), int(x2), int(y2)))
                     # encode INSIDE the guard: encode_jpeg rejects channel
                     # counts JPEG can't carry (a gray+alpha PNG is a valid
-                    # decode) — that drops the row, not the task. A missing
-                    # codec (NotImplementedError) still fails loudly.
+                    # decode) — that drops the row, not the task. An
+                    # encode-side NotImplementedError still fails loudly.
                     encoded = encode(c)
                 except ValueError:
                     continue

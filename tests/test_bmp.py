@@ -13,7 +13,7 @@ from deepseek_ocr_spark.kernels.bmp import decode_bmp
 def build_bmp(width, height, bpp, pixel_rows, palette=None, top_down=False):
     """pixel_rows: list of rows TOP-first; each row is raw bytes in the
     file's pixel format (palette indices / BGR / BGRX), unpadded."""
-    row_bytes = (width * bpp // 8 + 3) & ~3
+    row_bytes = ((width * bpp + 7) // 8 + 3) & ~3
     pal = b""
     if palette is not None:
         pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
@@ -80,8 +80,46 @@ def test_rle8_runs_eol_delta_absolute():
     assert grid[0:6] == [PAL[0], PAL[0], PAL[3], PAL[3], PAL[0], PAL[0]]
 
 
+def test_rle4_runs_eol_delta_absolute():
+    """Hand-built RLE4: encoded run alternating nibbles, absolute mode
+    (nibble-packed, word-padded), delta skip, end-of-line, end-of-bitmap."""
+    rle = bytes([
+        3, 0x12,            # run: 3 px alternating 1,2,1
+        0, 3, 0x23, 0x20,   # absolute: 3 literals (2,3,2); 2 nibble bytes,
+                            # already word-aligned so no pad byte
+        0, 0,               # end of line
+        0, 2, 2, 0,         # delta: skip 2 cells on row 1
+        2, 0x30,            # run: 2 px alternating 3,0 -> (3,0)... cnt=2: 3,0
+        0, 1,               # end of bitmap
+    ])
+    pix_off = 14 + 40 + 4 * 4
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + len(rle), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 6, 2, 1, 4, 2, len(rle), 0, 0, 4, 0)
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in PAL)
+    w, h, ch, buf = decode_bmp(hdr + info + pal + rle)
+    assert (w, h, ch) == (6, 2, 3)
+    grid = [tuple(buf[3 * i : 3 * i + 3]) for i in range(12)]
+    # bottom-up: stored row 0 is DISPLAY row 1
+    assert grid[6:12] == [PAL[1], PAL[2], PAL[1], PAL[2], PAL[3], PAL[2]]
+    assert grid[0:6] == [PAL[0], PAL[0], PAL[3], PAL[0], PAL[0], PAL[0]]
+
+
+def test_uncompressed_4bit_and_1bit():
+    # 4-bit, 3 px wide (odd -> low nibble of 2nd byte unused)
+    rows = [bytes([0x01, 0x20]), bytes([0x32, 0x10])]
+    w, h, ch, buf = decode_bmp(build_bmp(3, 2, 4, rows, palette=PAL))
+    got = [tuple(buf[3 * i : 3 * i + 3]) for i in range(6)]
+    assert got == [PAL[0], PAL[1], PAL[2], PAL[3], PAL[2], PAL[1]]
+    # 1-bit, 10 px wide (2 bytes/row packed MSB-first)
+    rows = [bytes([0b10110000, 0b01000000]), bytes([0b00000001, 0b10000000])]
+    w, h, ch, buf = decode_bmp(build_bmp(10, 2, 1, rows, palette=PAL[:2]))
+    got = [buf[3 * i : 3 * i + 3] == bytes(PAL[1]) for i in range(20)]
+    assert got[:10] == [True, False, True, True] + [False] * 5 + [True]
+    assert got[10:] == [False] * 7 + [True, True, False]
+
+
 def test_unsupported_and_corrupt():
-    with pytest.raises(NotImplementedError):  # RLE4
+    with pytest.raises(ValueError):  # RLE4 flag on an 8-bit image
         bad = bytearray(build_bmp(2, 2, 8, [b"\x00\x00", b"\x00\x00"], palette=PAL))
         bad[30] = 2
         decode_bmp(bytes(bad))
@@ -122,3 +160,25 @@ def test_decode_matches_pil():
     w, h, ch, buf = decode_bmp(out.getvalue())
     assert (w, h, ch) == (13, 11, 3)
     assert buf == arr.tobytes()
+
+
+def test_low_bpp_decode_matches_pil():
+    """4-bit / 1-bit / RLE4 hand-built files, cross-checked against PIL
+    (codec-present lane; the in-sandbox expectations live in
+    test_uncompressed_4bit_and_1bit / test_rle4_runs_eol_delta_absolute)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    files = [
+        build_bmp(3, 2, 4, [bytes([0x01, 0x20]), bytes([0x32, 0x10])], palette=PAL),
+        build_bmp(
+            10, 2, 1,
+            [bytes([0b10110000, 0b01000000]), bytes([0b00000001, 0b10000000])],
+            palette=PAL[:2],
+        ),
+    ]
+    for data in files:
+        w, h, ch, buf = decode_bmp(data)
+        im = PIL_Image.open(io.BytesIO(data)).convert("RGB")
+        assert (w, h) == im.size
+        assert buf == im.tobytes()

@@ -157,6 +157,18 @@ def test_corrupt_raises():
             decode_gif(bad)
 
 
+def test_huge_screen_dims_raise_value_error_before_allocating():
+    """A ~40-byte header declaring a 65535x65535 logical screen must hit
+    the 1<<28-pixel sanity bound (ValueError), never a 12.9 GB alloc /
+    MemoryError escaping the hostile-input contract."""
+    import struct as _s
+
+    hdr = b"GIF89a" + _s.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)
+    data = hdr + bytes(6)  # 2-entry GCT
+    with pytest.raises(ValueError):
+        decode_gif(data)
+
+
 def test_real_decode_handles_gif_in_sandbox():
     from deepseek_ocr_spark.operators.multimodal import _real_decode
 

@@ -392,6 +392,19 @@ def test_corrupt_raises_value_error():
         decode_jpeg(b"not a jpeg at all")
 
 
+def test_huge_sof_dims_raise_value_error_before_allocating():
+    """A ~100-byte SOF declaring 65500x65500 must hit the 1<<28-pixel
+    sanity bound (ValueError) before any coefficient storage or MCU loop
+    is sized from it."""
+    q = [16] * 64
+    base = bytearray(b"\xff\xd8")
+    zz = bytes(q[ZIGZAG[k]] for k in range(64))
+    base += _seg(0xDB, bytes([0]) + zz)
+    base += _seg(0xC0, struct.pack(">BHHB", 8, 65500, 65500, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="sanity"):
+        decode_jpeg(bytes(base))
+
+
 # --- encoder tests -----------------------------------------------------------
 
 

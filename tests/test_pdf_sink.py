@@ -76,6 +76,16 @@ def test_labels_extract_back_through_own_parser():
     assert "title" in text and "text" in text
 
 
+def test_non_latin1_label_degrades_not_crashes():
+    """A CJK/emoji span label must degrade to '?' in the content stream
+    (latin-1 page encoding), never UnicodeEncodeError out of the per-doc
+    assemble UDF."""
+    boxes = [(2, 3, 20, 15, (214, 39, 40), 4, "图表 ümlaut")]
+    data = build_pdf([_page(boxes=boxes)])
+    text = "\n".join(extract_pdf_text(data))
+    assert "?? ümlaut" in text  # latin-1 chars survive, CJK degrades
+
+
 def test_deterministic_bytes():
     mk = lambda: build_pdf(
         [_page(boxes=[(1, 1, 10, 10, (0, 0, 0), 2, "t (esc)")]), _page(16, 16)]

@@ -18,11 +18,20 @@ SZ = 64  # small tile size → tiny fixtures, same code paths as 640
 
 @pytest.fixture(scope="module")
 def images_df(spark):
+    from tests.test_bmp import build_bmp
+
+    # structurally VALID but unsupported variant (BI_JPEG compression):
+    # decode raises NotImplementedError — the lanes must drop it like a
+    # hostile payload, not kill the task (one exotic file in a crawl)
+    unsupported = bytearray(build_bmp(2, 2, 8, [b"\x00\x00"] * 2,
+                                      palette=[(0, 0, 0)] * 256))
+    unsupported[30] = 4
     rows = [
         (1, pixels.encode_png(gradient(130, 70))),   # > SZ → crop path
         (2, pixels.encode_png(gradient(60, 60))),    # ≤ SZ → bypass (O-18)
         (3, b"\x89PNG but hostile garbage"),         # undecodable → dropped
         (4, pixels.encode_png(gradient(70, 140))),   # tall crop path
+        (5, bytes(unsupported)),                     # NotImplemented → dropped
     ]
     return spark.createDataFrame(rows, "doc_id LONG, png BINARY")
 
