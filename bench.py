@@ -118,6 +118,11 @@ def main() -> None:
         "pii_scrub",
         "contamination_3gram",
         "seq_pack",
+        # round 6: multimodal/audio/video lanes (r5 ops, first timing rows)
+        "multimodal_features",
+        "audio_meta",
+        "audio_frame_energy",
+        "video_meta",
     ]
     reg = registry()
     for name in bench_queries:
@@ -127,6 +132,23 @@ def main() -> None:
         timings[name] = timed(
             lambda df=df: df.write.format("noop").mode("overwrite").save()
         )
+
+    # true-PDF layout sink probe over a DETERMINISTIC 10% of docs (urls
+    # ending in '0') — the full sink is ~38s at sf0.1 (page pixmap synth +
+    # per-page deflate dominates), too heavy for a headline row; the name
+    # says it is a subset so the cap is never silent
+    from pyspark.sql import functions as F
+
+    from deepseek_ocr_spark.pipeline.pdfsink import (
+        annotated_pdf_docs,
+        synthetic_page_pixmaps,
+    )
+
+    sub = extract_documents(docs.filter(F.col("url").endswith("0")))
+    pdfs = annotated_pdf_docs(synthetic_page_pixmaps(sub), sub)
+    timings["layouts_pdf_10pct"] = timed(
+        lambda: pdfs.write.format("noop").mode("overwrite").save()
+    )
 
     total = round(sum(timings.values()), 3)
     out = {

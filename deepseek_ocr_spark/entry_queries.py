@@ -681,8 +681,10 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: traindata.contamination_flags(_docs(s, d)),
         traindata.contamination_flags_sql(),
     ),
+    # P pinned to PACK_SHARDS so the static oracle SQL mirrors the value;
+    # the deployable n_shards=None default derives P from the session
     "seq_pack": (
-        lambda s, d: traindata.seq_pack(_docs(s, d)),
+        lambda s, d: traindata.seq_pack(_docs(s, d), n_shards=traindata.PACK_SHARDS),
         traindata.seq_pack_sql(),
     ),
     # full pipeline (rows-only; byte-identity gated in pytest instead) +
@@ -693,71 +695,73 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
 
 
 # Driver-priority head: queries that still need a driver CORRECTNESS row,
-# most-starved first. r5 rotation — (a) the two r4 reds, FIXED this round
-# (array columns now serialized/exploded to scalars), kept in the head to
-# prove the fix; (b) the 27 queries whose only green row is r03 (TPC-H,
-# temporal, dedup families — dedup.py and textops.py changed substantially
-# in r4 and deserve fresh evidence); (c) fill to 50 with r4-green queries
-# in _DEFS order. `extract_pipeline` (no oracle, permanently rows-only) is
-# deliberately PAST position 50 — a head slot that cannot go green is a
-# wasted check; its SQL-expressible projection is oracled by
-# `extract_summary` and its bytes by the pytest byte-identity gate.
+# most-starved first. r6 rotation — (a) the 32 oracle-paired queries whose
+# newest green row is r04 (they sat outside the r5 head): similarity/ANN,
+# Gopher/repetition/Bloom/line-dedup, HLL/TF-IDF, quantiles/median/pivot,
+# span/cascade/bbox, multimodal decode/resize/frames, extract_summary;
+# (b) the two queries whose IMPLEMENTATION changed in r6
+# (contamination_3gram digest keying, seq_pack P=64 + scale-aware
+# default) plus pii_scrub (same module); (c) fill to 50 with the r5-new
+# single-green-row lanes (audio/video/features) and r5-green dedup rows
+# in _DEFS order. `extract_pipeline` (no oracle, permanently rows-only)
+# stays PAST position 50 — a head slot that cannot go green is a wasted
+# check; its SQL-expressible projection is oracled by `extract_summary`
+# and its bytes by the pytest byte-identity gate.
 _DRIVER_HEAD: list[str] = [
-    # (a) r4 reds, fixed in r5
-    "inverted_index",
-    "multimodal_features",
-    # (b) r03-only evidence, module changed in r4
-    "formula_cleanup",
-    "image_ref_substitution",
-    "anti_join_resume",
-    "broadcast_dim_join",
-    "events_hourly",
-    "sessionize",
-    "asof_join_orders",
-    "interval_join_views_clicks",
-    "props_json_rollup",
-    "daily_active_users",
-    "tpch_pricing_summary",
-    "tpch_revenue_topn",
-    "tpch_star_region_rollup",
-    "semi_join_open_orders",
-    "anti_join_parts_unordered",
-    "salted_hot_key_join",
-    "supplier_nation_balance",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_pairs_capped",
-    "dedup_minhash_pairs_16x4",
-    "dedup_components",
-    "dedup_minhash_verified",
-    "dedup_incremental",
-    # (c) fill to 50 (r4-green, refreshed)
-    "tile_plan_argmin",
-    "vision_tokens",
-    "token_layout",
-    "tile_boxes",
-    "token_splice_segments",
-    "deterministic_sample",
-    "text_normalize",
-    "url_normalize",
-    "per_domain_cap",
-    "eos_filter",
-    "ordered_assembly",
-    "page_ordinals",
-    "metrics_rollup",
-    "metrics_cube",
-    "metrics_rollup_salted",
-    # (d) new in r5 — never driver-checked (displaced the last six
-    # r4-green fillers; those rest on their r4 rows + the local gate)
-    "pii_scrub",
+    # (a) newest green row is r04 — promote for evidence freshness
+    "corpus_clean",
+    "median_chars_by_lang",
+    "quantiles_by_lang",
+    "lang_source_pivot",
+    "stratified_sample",
+    "span_extract",
+    "cleanup_cascade",
+    "bbox_rescale",
+    "dedup_components_logstar",
+    "dedup_lines_global",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh_256",
+    "similarity_ann_recall",
+    "langid_heuristic",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "quantiles_approx_quality",
+    "gopher_quality_flags",
+    "repetition_signals",
+    "bloom_membership",
+    "hll_distinct_sources",
+    "hll_distinct_texts",
+    "tfidf_top_terms",
+    "ngram_repeat_flags",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "extract_summary",
+    # (b) implementation changed in r6 — must re-prove
     "contamination_3gram",
     "seq_pack",
+    "pii_scrub",
+    # (c) fill to 50: r5-new lanes with a single green row, then r5-green
+    # dedup/index rows in _DEFS order
+    "multimodal_features",
     "audio_meta",
     "audio_frame_energy",
     "video_meta",
+    "inverted_index",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_pairs",
+    "dedup_minhash_pairs_capped",
+    "dedup_minhash_pairs_16x4",
+    "dedup_minhash_verified",
+    "dedup_incremental",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

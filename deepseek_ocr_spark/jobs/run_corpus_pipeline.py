@@ -18,6 +18,9 @@ Writes under --output:
                  incremental/streaming near-dup probes consume
     index/tfidf/     top tf-idf terms per source
     index/postings/  inverted index (token → sorted doc_id posting list)
+    pii/         per-doc PII-scrubbed text + typed redaction counts
+    contamination/   per-doc benchmark 3-gram hit counts + flag
+    packing/     per-doc (shard, bin_ix) sequence-packing assignment
 
 Plan shape: clean is ONE shuffle (see textops.corpus_clean); stats is a
 256-row register shuffle; each index build is one token-key shuffle. The
@@ -48,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    from deepseek_ocr_spark.operators import corpus_stats, dedup, textops
+    from deepseek_ocr_spark.operators import corpus_stats, dedup, textops, traindata
     from deepseek_ocr_spark.pipeline.session import build_session
 
     spark = build_session(app_name="run-corpus-pipeline")
@@ -87,6 +90,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus_stats.inverted_index(docs).write.mode("overwrite").parquet(
         os.path.join(args.output, "index", "postings")
+    )
+
+    # r5 training-data ops: map-only PII scrub, broadcast decontamination,
+    # shard-local sequence packing (scale-aware P from the session conf)
+    traindata.pii_scrub(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "pii")
+    )
+    traindata.contamination_flags(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "contamination")
+    )
+    traindata.seq_pack(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "packing")
     )
 
     n_clean = spark.read.parquet(os.path.join(args.output, "clean")).count()

@@ -217,13 +217,15 @@ FROM corpus c LEFT JOIN hits h USING (doc_id)
 
 
 PACK_MAX_TOKENS = 256
-PACK_SHARDS = 8
+PACK_SHARDS = 64  # registered/benched P — large enough that no shard is a
+# giant sort partition at the tested SFs; the deployable default below
+# scales P with the session instead of pinning it
 
 
 def seq_pack(
     docs: DataFrame,
     max_tokens: int = PACK_MAX_TOKENS,
-    n_shards: int = PACK_SHARDS,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """(doc_id, shard, n_tokens, bin_ix) — sequence packing for training:
     greedy sorted-fill of whitespace-token counts into bins of
@@ -231,7 +233,19 @@ def seq_pack(
     bin_ix = floor(exclusive-prefix-sum / max_tokens) within the shard's
     (n_tokens DESC, doc_id) order — deterministic, and a doc longer than
     max_tokens simply spans bins on its own.  NULL-text docs are excluded
-    (nothing to pack)."""
+    (nothing to pack).
+
+    ``n_shards=None`` (the deployable default) derives P from the
+    session's ``spark.sql.shuffle.partitions`` — sized for the cluster,
+    so each shard's window sort fits one task at any scale; a single
+    global window (P=1) would serialize the corpus through one partition.
+    Pass an explicit P when a downstream layout pins it (the registry
+    passes PACK_SHARDS so the DuckDB oracle can mirror the value)."""
+    if n_shards is None:
+        n_shards = max(
+            PACK_SHARDS,
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
     base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         (F.col("doc_id") % n_shards).cast("int").alias("shard"),

@@ -24,13 +24,22 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
     assert summary["hll_rel_err"] < 0.1
 
     for sink in ("clean", "stats", "quality", "bands", "index/tfidf",
-                 "index/postings"):
+                 "index/postings", "pii", "contamination", "packing"):
         df = spark.read.parquet(os.path.join(out, sink))
         assert df.count() > 0, sink
 
     # the bands sink is the seen-set the streaming near-dup probe consumes
     bands = spark.read.parquet(os.path.join(out, "bands"))
     assert set(bands.columns) == {"doc_id", "band"}
+
+    # r5 training-data sinks carry their op's full schema
+    pii = spark.read.parquet(os.path.join(out, "pii"))
+    assert set(pii.columns) == {"doc_id", "clean_text", "n_emails", "n_ips",
+                                "n_phones"}
+    cont = spark.read.parquet(os.path.join(out, "contamination"))
+    assert set(cont.columns) == {"doc_id", "n_hits", "contaminated"}
+    pack = spark.read.parquet(os.path.join(out, "packing"))
+    assert set(pack.columns) == {"doc_id", "shard", "n_tokens", "bin_ix"}
 
     # clean sink == the oracle-checked corpus_clean over the same input
     from deepseek_ocr_spark.operators import textops

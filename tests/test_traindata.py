@@ -110,6 +110,43 @@ def test_seq_pack_invariants(spark):
             assert total < 64 + max(r["n_tokens"] for r in members)
 
 
+def test_seq_pack_large_p_utilization(spark):
+    """The registered P (PACK_SHARDS=64) must keep bin utilization tight
+    at P≫8: cumsum binning wastes strictly less than one bin per shard
+    (n_bins ≤ floor(shard_total/cap) + 1), and bin indices are contiguous
+    from 0 (token counts ≤ cap ⇒ floor jumps by at most 1)."""
+    assert traindata.PACK_SHARDS >= 64
+    rows = [(i, "tok " * (5 + (i * 7) % 60), "en", "s", 1) for i in range(2000)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = traindata.seq_pack(docs, max_tokens=64, n_shards=64).collect()
+    assert len(out) == 2000
+    by_shard = {}
+    for r in out:
+        assert r["shard"] == r["doc_id"] % 64
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        total = sum(r["n_tokens"] for r in members)
+        bins = {r["bin_ix"] for r in members}
+        assert bins == set(range(len(bins))), shard  # contiguous from 0
+        assert len(bins) <= total // 64 + 1, (shard, total, len(bins))
+
+
+def test_seq_pack_default_p_scales_with_session(spark):
+    """n_shards=None derives P from spark.sql.shuffle.partitions (floored
+    at PACK_SHARDS) — the deployable default is scale-aware, never a
+    handful of giant sort partitions."""
+    rows = [(i, "a b c", "en", "s", 1) for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    expect_p = max(traindata.PACK_SHARDS, conf_p)
+    shards = {r["shard"] for r in traindata.seq_pack(docs).collect()}
+    assert shards == {i % expect_p for i in range(300)}
+
+
 def test_contamination_plan_broadcasts_benchmark(spark, td_dir):
     plan = (
         traindata.contamination_flags(_docs(spark, td_dir))
