@@ -123,6 +123,8 @@ def main() -> None:
         "audio_meta",
         "audio_frame_energy",
         "video_meta",
+        # round 6: substring-level dedup
+        "dedup_spans",
     ]
     reg = registry()
     for name in bench_queries:

@@ -532,6 +532,12 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
     ),
     # C4/RefinedWeb global line dedup: first occurrence wins corpus-wide,
     # docs reassembled in order, blank lines bypass the window (skew + semantics)
+    # substring-level dedup (Lee et al. 2022): duplicated 8-token windows
+    # merged to per-doc spans — one digest exchange + one doc_id exchange
+    "dedup_spans": (
+        lambda s, d: dedup.dedup_spans(_docs(s, d)),
+        dedup.dedup_spans_sql(),
+    ),
     "dedup_lines_global": (
         lambda s, d: dedup.dedup_lines_global(_docs(s, d)),
         dedup.dedup_lines_global_sql(),
@@ -761,7 +767,8 @@ _DRIVER_HEAD: list[str] = [
     "dedup_incremental",
     "dedup_components",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # new in r6 — never driver-checked
+    "dedup_spans",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

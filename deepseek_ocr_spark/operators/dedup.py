@@ -823,3 +823,130 @@ SELECT k.doc_id,
 FROM kept k JOIN counts c ON k.doc_id = c.doc_id
 GROUP BY k.doc_id
 """
+
+
+# --- substring (span-level) dedup --------------------------------------------
+
+SPAN_W = 8  # tokens per window — the Lee et al. 2022 "Deduplicating
+# Training Data" substring unit, small here so the sf corpora exercise it
+SPAN_MIN_COUNT = 2
+
+
+def _span_digest_exprs(hcol, w: int):
+    """array<bigint> of 60-bit rolling-window digests over a MATERIALIZED
+    token-hash column: digest(i) = ⊕_{j<w} rot_{6j}(h[i+j]).  Same hoisted-
+    column rule as traindata._gram_digest_exprs (element_at over an inline
+    transform is O(n²) in doc length); rotations stay < 60 bits for w ≤ 10
+    so the mirrored DuckDB expression cannot overflow a checked BIGINT."""
+    from .traindata import _rot60
+
+    assert w <= 10, "rotation schedule 6j must stay below 60 bits"
+    n = F.size(hcol)
+
+    def digest(i):
+        acc = F.element_at(hcol, i)
+        for j in range(1, w):
+            acc = acc.bitwiseXOR(_rot60(F.element_at(hcol, i + F.lit(j)), 6 * j))
+        return acc
+
+    return F.when(
+        n >= w,
+        F.transform(F.sequence(F.lit(1), n - (w - 1)), digest),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def dedup_spans(
+    docs: DataFrame, w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows) — substring-level dedup
+    (Lee et al. 2022, arXiv:2107.06499): every ``w``-token window whose
+    digest occurs ≥ ``min_count`` times ANYWHERE in the corpus (across or
+    within docs) is flagged, and per document the flagged windows are
+    merged into maximal token spans [span_start, span_end) (overlapping
+    or exactly-adjacent windows coalesce).  The downstream cut/keep
+    policy consumes these spans; emitting spans rather than rewritten
+    text keeps the op pure-relational and the contract testable.
+
+    Plan shape (100 TB): window digests are map-side arrays over hoisted
+    per-token hashes (md5 once per token); ONE digest-key exchange
+    (count-over-window — no self-join, no postings materialization: a
+    viral window contributes a count, never a row explosion), then ONE
+    doc_id exchange for the gaps-and-islands merge.  NULL/short docs
+    never emit windows."""
+    from .traindata import _token_hashes
+
+    from pyspark.sql import Window as W
+
+    hdf = spread_input(docs.filter(F.col("text").isNotNull())).select(
+        "doc_id", _token_hashes().alias("h")
+    )
+    wins = hdf.select(
+        "doc_id", F.posexplode(_span_digest_exprs(F.col("h"), w)).alias("pos", "g")
+    )
+    cnt = F.count(F.lit(1)).over(W.partitionBy("g"))
+    dup = wins.withColumn("_cnt", cnt).filter(F.col("_cnt") >= min_count)
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(wdoc) <= w, F.lit(0)).otherwise(
+        F.lit(1)  # NULL lag (first window) also starts an island
+    )
+    isl = dup.select("doc_id", "pos").withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(wdoc.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        isl.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + w).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def dedup_spans_sql(
+    table: str = "documents", w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> str:
+    acc = "h[g.i]"
+    for j in range(1, w):
+        e = f"h[g.i+{j}]"
+        rot = f"((({e} & {(1 << (60 - 6 * j)) - 1}) << {6 * j}) | ({e} >> {60 - 6 * j}))"
+        acc = f"xor({acc}, {rot})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+  FROM {table} WHERE text IS NOT NULL
+),
+tokh AS (
+  SELECT doc_id,
+         list_transform(tk,
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+),
+wins AS (
+  SELECT doc_id, g.i - 1 AS pos, {acc} AS g
+  FROM tokh CROSS JOIN unnest(generate_series(1, len(h) - {w - 1})) AS g(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM wins
+  ) WHERE cnt >= {min_count}
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {w} THEN 0 ELSE 1 END AS b
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {w} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
