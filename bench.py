@@ -123,8 +123,9 @@ def main() -> None:
         "audio_meta",
         "audio_frame_energy",
         "video_meta",
-        # round 6: substring-level dedup
+        # round 6: substring-level dedup (detect + apply)
         "dedup_spans",
+        "dedup_spans_cut",
     ]
     reg = registry()
     for name in bench_queries:

@@ -538,6 +538,10 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: dedup.dedup_spans(_docs(s, d)),
         dedup.dedup_spans_sql(),
     ),
+    "dedup_spans_cut": (
+        lambda s, d: dedup.dedup_spans_cut(_docs(s, d)),
+        dedup.dedup_spans_cut_sql(),
+    ),
     "dedup_lines_global": (
         lambda s, d: dedup.dedup_lines_global(_docs(s, d)),
         dedup.dedup_lines_global_sql(),
@@ -766,9 +770,9 @@ _DRIVER_HEAD: list[str] = [
     "dedup_minhash_verified",
     "dedup_incremental",
     "dedup_components",
-    "dedup_simhash",
     # new in r6 — never driver-checked
     "dedup_spans",
+    "dedup_spans_cut",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

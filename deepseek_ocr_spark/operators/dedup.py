@@ -868,11 +868,20 @@ def dedup_spans(
     text keeps the op pure-relational and the contract testable.
 
     Plan shape (100 TB): window digests are map-side arrays over hoisted
-    per-token hashes (md5 once per token); ONE digest-key exchange
-    (count-over-window — no self-join, no postings materialization: a
-    viral window contributes a count, never a row explosion), then ONE
-    doc_id exchange for the gaps-and-islands merge.  NULL/short docs
-    never emit windows."""
+    per-token hashes (md5 once per token).  The duplicate test is a
+    map-side-combined ``groupBy(g).count()`` (a viral window — one
+    boilerplate sentence in 10^9 docs — reduces to one row per task
+    BEFORE the shuffle) followed by a LEFT-SEMI join of the windows
+    against the ≥min_count digests; deliberately NOT a
+    count-over-window, which would sort every occurrence of a viral
+    digest inside one partition (the same failure mode
+    dedup_lines_global's min-agg avoids), and AQE's skew-join splits an
+    oversized probe partition while a window sort cannot be split.  The
+    digests are computed twice (agg branch + probe branch) — map-side
+    recompute is the cheap side of that trade.  Then ONE doc_id exchange
+    for the gaps-and-islands merge.  NULL/short docs never emit
+    windows.  The DuckDB oracle keeps the count-over-window formulation —
+    two independent derivations of the same flagged set."""
     from .traindata import _token_hashes
 
     from pyspark.sql import Window as W
@@ -883,8 +892,13 @@ def dedup_spans(
     wins = hdf.select(
         "doc_id", F.posexplode(_span_digest_exprs(F.col("h"), w)).alias("pos", "g")
     )
-    cnt = F.count(F.lit(1)).over(W.partitionBy("g"))
-    dup = wins.withColumn("_cnt", cnt).filter(F.col("_cnt") >= min_count)
+    dup_digests = (
+        wins.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("g")
+    )
+    dup = wins.join(dup_digests, "g", "left_semi")
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(wdoc) <= w, F.lit(0)).otherwise(
         F.lit(1)  # NULL lag (first window) also starts an island
@@ -949,4 +963,82 @@ SELECT doc_id,
        CAST(max(pos) + {w} AS BIGINT) AS span_end,
        CAST(count(*) AS BIGINT) AS n_windows
 FROM isl GROUP BY doc_id, island
+"""
+
+
+def dedup_spans_cut(
+    docs: DataFrame, w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> DataFrame:
+    """(doc_id, text, n_removed) — APPLY substring dedup: tokens covered
+    by any duplicated span (see dedup_spans) are cut and the survivors
+    re-join single-spaced (the op is defined on the token stream, so
+    output text is token-normalized; the oracle mirrors that exactly).
+    Docs with no duplicated spans pass through token-normalized with
+    n_removed = 0; NULL-text docs are excluded (no tokens).
+
+    Plan shape: the span table is per-doc tiny (merged islands), grouped
+    to one array row and joined back on doc_id — ONE extra exchange over
+    dedup_spans; the cut itself is a map-side indexed filter
+    (O(tokens × spans_per_doc), spans_per_doc bounded by doc length/w)."""
+    spans = (
+        dedup_spans(docs, w, min_count)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+        )
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("_tk")
+    )
+    joined = base.join(spans, "doc_id", "left")
+    covered = lambda i: F.coalesce(
+        F.exists(
+            F.col("_sp"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+        F.lit(False),
+    )
+    keep = F.filter(F.col("_tk"), lambda t, i: ~covered(i))
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", keep).alias("text"),
+        (F.size("_tk") - F.size(keep)).cast("bigint").alias("n_removed"),
+    )
+
+
+def dedup_spans_cut_sql(
+    table: str = "documents", w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> str:
+    return f"""
+WITH span_rows AS ({dedup_spans_sql(table, w, min_count)}),
+spans AS (
+  SELECT doc_id,
+         list({{'s': span_start, 'e': span_end}}) AS sp
+  FROM span_rows GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+  FROM {table} WHERE text IS NOT NULL
+),
+joined AS (
+  SELECT b.doc_id, b.tk, coalesce(s.sp, []) AS sp
+  FROM base b LEFT JOIN spans s USING (doc_id)
+),
+cut AS (
+  SELECT doc_id, tk,
+         list_filter(
+           list_transform(range(1, len(tk) + 1),
+             i -> CASE WHEN len(list_filter(sp,
+                          x -> i - 1 >= x.s AND i - 1 < x.e)) > 0
+                  THEN NULL ELSE tk[i] END),
+           t -> t IS NOT NULL) AS keep
+  FROM joined
+)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL; Spark concat_ws gives '' —
+       -- a fully-cut doc keeps an (id, '', n) row in both engines
+       coalesce(array_to_string(keep, ' '), '') AS text,
+       CAST(len(tk) - len(keep) AS BIGINT) AS n_removed
+FROM cut
 """

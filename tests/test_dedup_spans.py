@@ -74,6 +74,39 @@ def test_span_semantics(spark, sp_dir):
         assert s["span_end"] - s["span_start"] == 8
 
 
+def test_cut_matches_oracle(spark, sp_dir):
+    qdf = dedup.dedup_spans_cut(_docs(spark, sp_dir))
+    spark_rows = [tuple(r) for r in qdf.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sp_dir}/documents.parquet/*.parquet'"
+    )
+    res = con.sql(dedup.dedup_spans_cut_sql())
+    duck_rows = res.fetchall()
+    assert len(spark_rows) == len(duck_rows) > 0
+    assert _value_hash(spark_rows, qdf.columns) == _value_hash(duck_rows, res.columns)
+
+
+def test_cut_semantics(spark, sp_dir):
+    out = {r["doc_id"]: r for r in dedup.dedup_spans_cut(_docs(spark, sp_dir)).collect()}
+    # doc 0: 3 intro tokens + 12-token shared span + 2-token tail -> span cut
+    assert out[0]["text"] == "intro words here trailing tail"
+    assert out[0]["n_removed"] == 12
+    # doc 1: span at position 0 cut, unique tail survives
+    assert out[1]["text"] == "other content entirely different"
+    assert out[1]["n_removed"] == 12
+    # untouched docs pass through token-normalized with n_removed = 0
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text"].startswith("totally unique")
+    assert out[3]["text"] == "x x x" and out[3]["n_removed"] == 0
+    # null text excluded entirely
+    assert 4 not in out
+    # doc 5: both 8-token occurrences cut, the 4 filler tokens survive
+    assert out[5]["text"] == "filler one two three"
+    assert out[5]["n_removed"] == 16
+
+
 def test_no_python_in_plan(spark, sp_dir):
     plan = (
         dedup.dedup_spans(_docs(spark, sp_dir))
