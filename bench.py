@@ -137,9 +137,13 @@ def main() -> None:
         )
 
     # true-PDF layout sink probe over a DETERMINISTIC 10% of docs (urls
-    # ending in '0') — the full sink is ~38s at sf0.1 (page pixmap synth +
-    # per-page deflate dominates), too heavy for a headline row; the name
-    # says it is a subset so the cap is never silent
+    # ending in '0').  The synthetic pixmaps are MATERIALIZED first — they
+    # are the sandbox stand-in for real page renders, i.e. input
+    # derivation, not engine throughput (same rule as the docs table
+    # above); the timed plan is the sink itself: page prep (verbatim
+    # PNG-IDAT/JPEG passthrough) + per-doc assembly, one url shuffle.
+    # 10% keeps the row from dominating the bench; the name says it is a
+    # subset so the cap is never silent.
     from pyspark.sql import functions as F
 
     from deepseek_ocr_spark.pipeline.pdfsink import (
@@ -148,7 +152,10 @@ def main() -> None:
     )
 
     sub = extract_documents(docs.filter(F.col("url").endswith("0")))
-    pdfs = annotated_pdf_docs(synthetic_page_pixmaps(sub), sub)
+    pix_path = tempfile.mkdtemp(prefix="bench_pix_") + "/pages"
+    synthetic_page_pixmaps(sub).write.parquet(pix_path)
+    pages_df = spark.read.parquet(pix_path)
+    pdfs = annotated_pdf_docs(pages_df, sub)
     timings["layouts_pdf_10pct"] = timed(
         lambda: pdfs.write.format("noop").mode("overwrite").save()
     )

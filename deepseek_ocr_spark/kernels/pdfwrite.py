@@ -33,8 +33,15 @@ from dataclasses import dataclass, field
 class PdfPage:
     width: int
     height: int
-    codec: str  # "jpeg" (DCTDecode passthrough) | "flate-rgb" | "flate-gray"
-    image: bytes  # JPEG file bytes, or raw RGB/gray samples row-major
+    # "jpeg" (DCTDecode passthrough) | "flate-rgb" | "flate-gray" |
+    # "png-rgb" / "png-gray" (the PNG analog of the JPEG trick: the IDAT
+    # zlib stream embeds VERBATIM as /FlateDecode + /DecodeParms
+    # /Predictor 15 — PDF's PNG-prediction mode accepts the filtered
+    # scanlines as-is, so no inflate/unfilter/re-deflate ever runs)
+    codec: str
+    # JPEG file bytes, raw RGB/gray samples row-major, or the PNG IDAT
+    # zlib stream for the png-* codecs
+    image: bytes
     # (x1, y1, x2, y2, (r, g, b), stroke_width, label) in image pixel coords
     boxes: list[tuple] = field(default_factory=list)
     # True → ``image`` is ALREADY zlib-compressed for the flate codecs
@@ -105,8 +112,20 @@ def build_pdf(pages: list[PdfPage]) -> bytes:
             f"/Contents {ct} 0 R >>"
         ).encode()
         objs[ct] = stream_obj(b"", _content_stream(p))
+        parms = b""
         if p.codec == "jpeg":
             filt, cs, data = b"/DCTDecode", b"/DeviceRGB", p.image
+        elif p.codec in ("png-rgb", "png-gray"):
+            nch = 3 if p.codec == "png-rgb" else 1
+            cs = b"/DeviceRGB" if nch == 3 else b"/DeviceGray"
+            filt = b"/FlateDecode"
+            data = p.image  # verbatim IDAT zlib stream (filtered scanlines)
+            parms = (
+                b" /DecodeParms << /Predictor 15 /Colors "
+                + str(nch).encode()
+                + b" /BitsPerComponent 8 /Columns " + str(p.width).encode()
+                + b" >>"
+            )
         elif p.codec in ("flate-rgb", "flate-gray"):
             nch = 3 if p.codec == "flate-rgb" else 1
             cs = b"/DeviceRGB" if nch == 3 else b"/DeviceGray"
@@ -123,7 +142,8 @@ def build_pdf(pages: list[PdfPage]) -> bytes:
             b"/Type /XObject /Subtype /Image /Width "
             + str(p.width).encode()
             + b" /Height " + str(p.height).encode()
-            + b" /ColorSpace " + cs + b" /BitsPerComponent 8 /Filter " + filt,
+            + b" /ColorSpace " + cs + b" /BitsPerComponent 8 /Filter " + filt
+            + parms,
             data,
         )
 

@@ -77,7 +77,9 @@ def decode_png(data: bytes) -> Image:
         raise ValueError(f"malformed PNG: {e}") from e
 
 
-def _decode_png(data: bytes) -> Image:
+def _png_parse(data: bytes):
+    """Chunk walk shared by the decoder and the PDF verbatim-embed probe:
+    (w, h, bit_depth, color_type, interlace, plte, idat_zlib_bytes)."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     w = h = None
@@ -105,6 +107,35 @@ def _decode_png(data: bytes) -> Image:
         i += 12 + length  # length + type + data + crc
     if w is None or not w or not h:
         raise ValueError("PNG missing/empty IHDR")
+    return w, h, bit_depth, color_type, interlace, plte, bytes(idat)
+
+
+def png_pdf_stream(data: bytes):
+    """(w, h, channels, idat_zlib) when this PNG's compressed stream can
+    embed VERBATIM as a PDF image XObject (/FlateDecode with /Predictor 15
+    — PDF's PNG-prediction mode accepts raw filtered scanlines): 8-bit,
+    non-interlaced, gray (color type 0) or RGB (2).  Returns None for any
+    other flavor (palette/alpha/16-bit/interlace) — callers fall back to
+    decode + re-deflate.  The stream IS inflated once to length-check it
+    (cheap; the deflate being skipped is the expensive side), so a corrupt
+    payload still raises ValueError and drops the page rather than
+    emitting a broken PDF."""
+    try:
+        w, h, bit_depth, color_type, interlace, _plte, idat = _png_parse(data)
+        if bit_depth != 8 or interlace != 0 or color_type not in (0, 2):
+            return None
+        ch = 3 if color_type == 2 else 1
+        if len(zlib.decompress(idat)) != (w * ch + 1) * h:
+            raise ValueError("PNG pixel data length mismatch")
+        return w, h, ch, idat
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError, OverflowError, MemoryError) as e:
+        raise ValueError(f"malformed PNG: {e}") from e
+
+
+def _decode_png(data: bytes) -> Image:
+    w, h, bit_depth, color_type, interlace, plte, idat = _png_parse(data)
     if bit_depth != 8:
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
     if color_type not in _CT_CHANNELS:

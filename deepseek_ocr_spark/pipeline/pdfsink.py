@@ -56,10 +56,14 @@ PDF_DOC_SCHEMA = T.StructType(
 
 
 def _prep_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per page: JPEG payloads pass through verbatim; PNG decodes to raw
-    samples for lossless /FlateDecode embedding (alpha dropped — PDF image
-    XObjects carry no alpha without SMask, out of scope for a debug
-    artifact).  Undecodable payloads drop the page (hostile-payload rule)."""
+    """Per page: JPEG payloads pass through verbatim; 8-bit gray/RGB PNG
+    IDAT streams ALSO pass through verbatim (/FlateDecode + /Predictor 15
+    — the PNG analog of the DCTDecode trick; the stream is inflate-
+    verified but never unfiltered or re-deflated); other PNG flavors
+    (palette/alpha) decode to raw samples for lossless /FlateDecode
+    embedding (alpha dropped — PDF image XObjects carry no alpha without
+    SMask, out of scope for a debug artifact).  Undecodable payloads drop
+    the page (hostile-payload rule)."""
     import json
 
     for pdf in batches:
@@ -79,6 +83,10 @@ def _prep_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
                     w, h, _ch, _buf = jk.decode_jpeg(data)
                     codec, image = "jpeg", data  # verbatim passthrough
+                elif (info := pixels.png_pdf_stream(data)) is not None:
+                    w, h, ch, idat = info
+                    codec = "png-gray" if ch == 1 else "png-rgb"
+                    image = idat  # verbatim passthrough (Predictor 15)
                 else:
                     import zlib
 

@@ -49,6 +49,42 @@ def test_flate_image_roundtrip():
     assert zlib.decompress(comp) == img[3]
 
 
+def test_png_idat_passthrough_verbatim():
+    """The PNG analog of the DCTDecode trick: an 8-bit RGB PNG's IDAT
+    zlib stream embeds byte-for-byte as /FlateDecode + /Predictor 15;
+    inflate + unfilter of the extracted stream must reproduce the exact
+    pixels (here the source PNG uses filter 0 rows, so unfiltering is
+    stripping the per-row filter byte)."""
+    img = gradient(20, 10, 3)
+    png = pixels.encode_png(img)
+    info = pixels.png_pdf_stream(png)
+    assert info is not None and info[:3] == (20, 10, 3)
+    data = build_pdf([PdfPage(20, 10, "png-rgb", info[3])])
+    assert info[3] in data  # verbatim
+    assert b"/Predictor 15" in data and b"/Columns 20" in data
+    m = re.search(
+        rb"/Filter /FlateDecode /DecodeParms[^>]*>> /Length (\d+) >>\nstream\n",
+        data,
+    )
+    comp = data[m.end() : m.end() + int(m.group(1))]
+    raw = zlib.decompress(comp)
+    rows = [raw[i * 61 : (i + 1) * 61] for i in range(10)]  # stride 3*20+1
+    assert all(r[0] == 0 for r in rows)  # our encoder emits filter 0
+    assert b"".join(r[1:] for r in rows) == img[3]
+
+
+def test_png_pdf_stream_gates():
+    # alpha / palette flavors fall back (None); corrupt raises ValueError
+    rgba = gradient(8, 6, 4)
+    assert pixels.png_pdf_stream(pixels.encode_png(rgba)) is None
+    gray = gradient(8, 6, 1)
+    assert pixels.png_pdf_stream(pixels.encode_png(gray))[:3] == (8, 6, 1)
+    good = bytearray(pixels.encode_png(gradient(8, 6, 3)))
+    good[50] ^= 0xFF  # corrupt inside IDAT
+    with pytest.raises(ValueError):
+        pixels.png_pdf_stream(bytes(good))
+
+
 def test_jpeg_passthrough_verbatim():
     jpg = jpeg_kernel.encode_jpeg_baseline(gradient(24, 16, 3), quality=90)
     data = build_pdf([PdfPage(24, 16, "jpeg", jpg)])
