@@ -123,9 +123,10 @@ def main() -> None:
         "audio_meta",
         "audio_frame_energy",
         "video_meta",
-        # round 6: substring-level dedup (detect + apply)
+        # round 6: substring-level dedup (detect + apply) + bigram-LM filter
         "dedup_spans",
         "dedup_spans_cut",
+        "lm_bigram_score",
     ]
     reg = registry()
     for name in bench_queries:

@@ -634,6 +634,11 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: corpus_stats.tfidf_top_terms(_docs(s, d)),
         corpus_stats.tfidf_top_terms_sql(),
     ),
+    # CCNet-style perplexity filter: corpus-trained add-one bigram LM
+    "lm_bigram_score": (
+        lambda s, d: corpus_stats.lm_bigram_score(_docs(s, d)),
+        corpus_stats.lm_bigram_score_sql(),
+    ),
     # driver contract: postings serialized to a comma-joined string (the
     # driver's pandas canonicalizer cannot hash list cells — r4 red row);
     # max_postings=50 exercises the stopword truncation live (df > 50
@@ -769,10 +774,10 @@ _DRIVER_HEAD: list[str] = [
     "dedup_minhash_pairs_16x4",
     "dedup_minhash_verified",
     "dedup_incremental",
-    "dedup_components",
     # new in r6 — never driver-checked
     "dedup_spans",
     "dedup_spans_cut",
+    "lm_bigram_score",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

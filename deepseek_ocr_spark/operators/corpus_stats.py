@@ -382,3 +382,122 @@ hits AS (
 SELECT doc_id, bool_and(hit) AS in_bloom, bool_and(actually_in) AS actually_in
 FROM hits GROUP BY doc_id
 """
+
+
+# --- add-one bigram LM scoring (CCNet-style perplexity filter) ---------------
+
+
+def lm_bigram_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, nll, ppl) — corpus-trained add-one bigram
+    language-model score per document, the relational analog of CCNet's
+    KenLM perplexity filter (Wenzek et al. 2020): documents whose token
+    transitions are unusual for the corpus score high and get filtered /
+    bucketed downstream.
+
+    Model: P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V) over whitespace tokens
+    (V = corpus vocabulary size); nll = -avg ln P over the doc's bigram
+    instances, ppl = exp(nll).  Both floats are SINGLE rounded
+    expressions (round(_,4)) so Spark and DuckDB agree bit-for-bit.
+
+    Plan shape (100 TB): per-doc bigram COUNTS aggregate first (one
+    shuffle, map-side combinable — a doc's repeated bigram is one row),
+    the global bigram/unigram tables derive from that aggregate (token-
+    key shuffles, cardinality ~ vocabulary²-observed / vocabulary), and
+    scoring is two hash joins against those tables with the probe side
+    already per-doc-deduped (a stopword bigram contributes ≤ n_docs probe
+    rows, AQE skew-join splits the hot partitions) + one final doc_id
+    agg.  V is a 1-row broadcast.  Docs with < 2 tokens have no bigrams
+    and are excluded (mirrored in the oracle)."""
+    # Deliberately keyed on token STRINGS, not md5 digests: measured at
+    # sf0.1 min-of-4, the digest variant is SLOWER (1.48 s vs 1.16 s) —
+    # tokens are short (~8 B), so the md5 pass costs more than the
+    # marginal shuffle-payload saving.  The digest trick pays off only
+    # when the key is long (contamination's ~25 B grams) or the keyed
+    # table is broadcast.
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    tdf = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("_t")
+    )
+    n = F.size("_t")
+    # hoisted-column rule (CLAUDE.md r6): element_at over an inline
+    # transform would re-evaluate the split per element
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_t"), i).alias("w1"),
+                F.element_at(F.col("_t"), i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bg = (
+        tdf.select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bg = doc_bg.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    uni = (
+        tdf.select(F.explode("_t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        doc_bg.join(bg, ["w1", "w2"])
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        (-F.sum(F.col("k") * logp) / F.sum("k")).alias("_nll"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("_nll"), 4).alias("nll"),
+        F.round(F.exp(F.col("_nll")), 4).alias("ppl"),
+    )
+
+
+def lm_bigram_score_sql(table: str = "documents") -> str:
+    return f"""
+WITH tok_arrs AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+  FROM {table} WHERE text IS NOT NULL
+),
+doc_bg AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS k
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                       i -> {{'w1': t[i], 'w2': t[i+1]}})
+                  ELSE [] END) AS p
+    FROM tok_arrs
+  ) GROUP BY doc_id, p.w1, p.w2
+),
+bg AS (SELECT w1, w2, sum(k) AS cb FROM doc_bg GROUP BY w1, w2),
+uni AS (
+  SELECT t.token, count(*) AS cu FROM (
+    SELECT unnest(t) AS token FROM tok_arrs
+  ) t GROUP BY t.token
+),
+vocab AS (SELECT count(*) AS v FROM uni),
+scored AS (
+  SELECT d.doc_id, d.k,
+         ln(CAST(b.cb + 1 AS DOUBLE) / (u.cu + vocab.v)) AS logp
+  FROM doc_bg d
+  JOIN bg b ON d.w1 = b.w1 AND d.w2 = b.w2
+  JOIN uni u ON d.w1 = u.token
+  CROSS JOIN vocab
+),
+agg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         -sum(k * logp) / sum(k) AS _nll
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(_nll, 4) AS nll, round(exp(_nll), 4) AS ppl
+FROM agg
+"""

@@ -59,6 +59,10 @@ EDGE_QUERIES = [
     "audio_meta",
     "audio_frame_energy",
     "video_meta",
+    # r6 additions: substring dedup (detect + apply) + bigram-LM filter
+    "dedup_spans",
+    "dedup_spans_cut",
+    "lm_bigram_score",
 ]
 
 QUERIES = entry_mod.queries()

@@ -1,0 +1,48 @@
+"""Bigram-LM perplexity filter (corpus_stats.lm_bigram_score): semantic
+ordering (formulaic text scores lower perplexity than corpus-unusual
+text) and the excluded-rows contract; cross-engine parity is covered by
+tests/test_entry_queries.py and the edge-corpus gate."""
+
+from deepseek_ocr_spark.operators import corpus_stats
+
+ROWS = [
+    # formulaic docs: the same transitions repeated corpus-wide
+    (0, "the cat sat on the mat", "en", "s", 22),
+    (1, "the cat sat on the mat", "en", "s", 22),
+    (2, "the cat sat on the mat again", "en", "s", 28),
+    # corpus-unusual transitions
+    (3, "zephyr quokka vortex manifold plinth", "en", "s", 36),
+    (4, "x", "en", "s", 1),  # single token: no bigrams
+    (5, None, "en", "s", 0),  # null text
+]
+
+
+def test_ordering_and_exclusions(spark):
+    docs = spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in corpus_stats.lm_bigram_score(docs).collect()}
+    # no-bigram and null docs are excluded
+    assert 4 not in out and 5 not in out
+    # repeated formulaic docs get identical scores, lower than the
+    # unusual-token doc (its bigrams occur once each over a larger V)
+    assert out[0]["nll"] == out[1]["nll"]
+    assert out[0]["ppl"] < out[3]["ppl"]
+    assert out[0]["n_bigrams"] == 5 and out[3]["n_bigrams"] == 4
+    # ppl = exp(nll) up to the independent 4-decimal rounds
+    import math
+
+    for r in out.values():
+        assert abs(r["ppl"] - math.exp(r["nll"])) < 1e-2 * r["ppl"]
+
+
+def test_no_python_in_plan(spark):
+    docs = spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    plan = (
+        corpus_stats.lm_bigram_score(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert bad not in plan, bad

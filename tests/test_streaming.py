@@ -235,6 +235,51 @@ def test_streaming_neardup_matches_batch_incremental(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    """Stream decontamination probe vs the materialized benchmark gram
+    table: per-doc flags across micro-batches equal the batch
+    contamination_flags rows for the same (non-benchmark) docs."""
+    from deepseek_ocr_spark.operators.traindata import contamination_flags
+    from deepseek_ocr_spark.streaming.contamination_stream import (
+        benchmark_gram_table,
+        stream_contamination_to_parquet,
+    )
+
+    all_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = all_docs.select(
+        "doc_id",
+        F.expr("timestamp'2025-01-01' + make_interval(0,0,0,0,0,0,doc_id)").alias(
+            "warc_ts"
+        ),
+        "text",
+    )
+    # stream the NON-benchmark docs; the static artifact is the benchmark set
+    inc = docs.filter(F.col("doc_id") % 23 != 0)
+
+    in_dir, out_dir, ck, grams = (
+        str(tmp_path / d) for d in ("in", "out", "ck", "grams")
+    )
+    benchmark_gram_table(all_docs).write.parquet(grams)
+    import os
+
+    os.makedirs(in_dir)
+    inc.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{in_dir}/b=0")
+    inc.filter("doc_id % 2 != 0").coalesce(1).write.parquet(f"{in_dir}/b=1")
+
+    q = stream_contamination_to_parquet(spark, in_dir + "/*", grams, out_dir, ck)
+    q.awaitTermination(300)
+
+    got = {
+        (r["doc_id"], r["n_hits"], r["contaminated"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_hits"], r["contaminated"])
+        for r in contamination_flags(all_docs).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join == the equivalent batch join (availableNow
     over a static directory; watermark large enough that nothing drops)."""
