@@ -21,6 +21,9 @@ Writes under --output:
     pii/         per-doc PII-scrubbed text + typed redaction counts
     contamination/   per-doc benchmark 3-gram hit counts + flag
     packing/     per-doc (shard, bin_ix) sequence-packing assignment
+    spans/       duplicated-substring spans per doc (Lee et al. detect)
+    spans_cut/   span-dedup APPLIED: rewritten text + n_removed
+    lm_scores/   per-doc bigram-LM nll/ppl (CCNet-style filter signal)
 
 Plan shape: clean is ONE shuffle (see textops.corpus_clean); stats is a
 256-row register shuffle; each index build is one token-key shuffle. The
@@ -102,6 +105,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     traindata.seq_pack(docs).write.mode("overwrite").parquet(
         os.path.join(args.output, "packing")
+    )
+
+    # r6 ops: substring dedup (detect + apply) and the bigram-LM filter
+    dedup.dedup_spans(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "spans")
+    )
+    dedup.dedup_spans_cut(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "spans_cut")
+    )
+    corpus_stats.lm_bigram_score(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "lm_scores")
     )
 
     n_clean = spark.read.parquet(os.path.join(args.output, "clean")).count()

@@ -24,7 +24,8 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
     assert summary["hll_rel_err"] < 0.1
 
     for sink in ("clean", "stats", "quality", "bands", "index/tfidf",
-                 "index/postings", "pii", "contamination", "packing"):
+                 "index/postings", "pii", "contamination", "packing",
+                 "spans_cut", "lm_scores"):
         df = spark.read.parquet(os.path.join(out, sink))
         assert df.count() > 0, sink
 
