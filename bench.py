@@ -127,6 +127,7 @@ def main() -> None:
         "dedup_spans",
         "dedup_spans_cut",
         "lm_bigram_score",
+        "bpe_top_pairs",
     ]
     reg = registry()
     for name in bench_queries:

@@ -639,6 +639,11 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: corpus_stats.lm_bigram_score(_docs(s, d)),
         corpus_stats.lm_bigram_score_sql(),
     ),
+    # BPE merge-candidate counts over the word-frequency table
+    "bpe_top_pairs": (
+        lambda s, d: corpus_stats.bpe_top_pairs(_docs(s, d)),
+        corpus_stats.bpe_top_pairs_sql(),
+    ),
     # driver contract: postings serialized to a comma-joined string (the
     # driver's pandas canonicalizer cannot hash list cells — r4 red row);
     # max_postings=50 exercises the stopword truncation live (df > 50
@@ -772,12 +777,12 @@ _DRIVER_HEAD: list[str] = [
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_capped",
     "dedup_minhash_pairs_16x4",
-    "dedup_minhash_verified",
     "dedup_incremental",
     # new in r6 — never driver-checked
     "dedup_spans",
     "dedup_spans_cut",
     "lm_bigram_score",
+    "bpe_top_pairs",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

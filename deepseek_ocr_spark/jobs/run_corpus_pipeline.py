@@ -24,6 +24,7 @@ Writes under --output:
     spans/       duplicated-substring spans per doc (Lee et al. detect)
     spans_cut/   span-dedup APPLIED: rewritten text + n_removed
     lm_scores/   per-doc bigram-LM nll/ppl (CCNet-style filter signal)
+    index/bpe_pairs/ top BPE merge candidates (tokenizer-training prep)
 
 Plan shape: clean is ONE shuffle (see textops.corpus_clean); stats is a
 256-row register shuffle; each index build is one token-key shuffle. The
@@ -116,6 +117,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus_stats.lm_bigram_score(docs).write.mode("overwrite").parquet(
         os.path.join(args.output, "lm_scores")
+    )
+    corpus_stats.bpe_top_pairs(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "index", "bpe_pairs")
     )
 
     n_clean = spark.read.parquet(os.path.join(args.output, "clean")).count()

@@ -501,3 +501,79 @@ agg AS (
 SELECT doc_id, n_bigrams, round(_nll, 4) AS nll, round(exp(_nll), 4) AS ppl
 FROM agg
 """
+
+
+# --- BPE merge-candidate counting (tokenizer-training prep) ------------------
+
+BPE_TOP_K = 20
+
+
+def bpe_top_pairs(docs: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
+    """(a, b, cnt, rank) — the top-k BPE merge candidates: corpus-weighted
+    counts of adjacent character pairs inside words, the first iteration
+    of byte-pair-encoding tokenizer training (Sennrich et al. 2016).
+
+    Scale shape — the classic BPE trick, relationally: the corpus
+    collapses to the WORD-FREQUENCY table first (one token shuffle,
+    output ~vocabulary-sized), and character pairs explode over DISTINCT
+    words only, weighted by word count — pair counting never touches the
+    corpus again, so a 10^12-doc corpus costs one word shuffle plus work
+    proportional to the vocabulary.  Ranking uses (cnt DESC, a, b) for a
+    deterministic cross-engine order.  No end-of-word marker (documented
+    simplification — the pair statistics, not a full trainer)."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    n = F.length("word")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.substring(F.col("word"), i, 1).alias("a"),
+                F.substring(F.col("word"), i + F.lit(1), 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pc = (
+        words.select("wc", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        pc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a", "b", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def bpe_top_pairs_sql(table: str = "documents", k: int = BPE_TOP_K) -> str:
+    return f"""
+WITH words AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM {table}
+  ) WHERE word != '' GROUP BY word
+),
+pc AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (
+    SELECT wc,
+           unnest(CASE WHEN length(word) >= 2
+                  THEN list_transform(range(1, length(word)),
+                       i -> {{'a': substr(word, i, 1),
+                              'b': substr(word, i + 1, 1)}})
+                  ELSE [] END) AS p
+    FROM words
+  ) GROUP BY p.a, p.b
+),
+ranked AS (
+  SELECT a, b, cnt,
+         row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rank
+  FROM pc
+)
+SELECT a, b, cnt, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""

@@ -63,6 +63,7 @@ EDGE_QUERIES = [
     "dedup_spans",
     "dedup_spans_cut",
     "lm_bigram_score",
+    "bpe_top_pairs",
 ]
 
 QUERIES = entry_mod.queries()

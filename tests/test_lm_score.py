@@ -36,6 +36,27 @@ def test_ordering_and_exclusions(spark):
         assert abs(r["ppl"] - math.exp(r["nll"])) < 1e-2 * r["ppl"]
 
 
+def test_bpe_pairs_word_weighted(spark):
+    """Pairs count once per WORD OCCURRENCE (weighted by word frequency),
+    never per distinct word, and ranking is (cnt desc, a, b)."""
+    rows = [
+        (0, "abc abc ab", "en", "s", 10),
+        (1, "abc xy", "en", "s", 6),
+        (2, "z", "en", "s", 1),  # single char: no pairs
+        (3, None, "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["a"], r["b"]): (r["cnt"], r["rank"])
+           for r in corpus_stats.bpe_top_pairs(docs).collect()}
+    # "abc" occurs 3x -> (a,b) also in "ab" (1x) = 4; (b,c) = 3; (x,y) = 1
+    assert out[("a", "b")] == (4, 1)
+    assert out[("b", "c")] == (3, 2)
+    assert out[("x", "y")][0] == 1
+    assert ("z", "z") not in out
+
+
 def test_no_python_in_plan(spark):
     docs = spark.createDataFrame(
         ROWS, "doc_id long, text string, lang string, source string, n_chars long"
