@@ -142,6 +142,44 @@ def test_unsupported_and_corrupt():
             pass  # only allowed failures
 
 
+def test_mutation_fuzz_low_bpp_and_rle4():
+    """Hostile-input contract for the r6 lanes: corrupt/truncated/inserted
+    variants of RLE4, 4-bit and 1-bit files raise ValueError (or
+    NotImplementedError for flipped headers) only."""
+    rle = bytes([3, 0x12, 0, 3, 0x23, 0x20, 0, 0, 0, 2, 2, 0, 2, 0x30, 0, 1])
+    pix_off = 14 + 40 + 4 * 4
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + len(rle), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 6, 2, 1, 4, 2, len(rle), 0, 0, 4, 0)
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in PAL)
+    bases = [
+        hdr + info + pal + rle,
+        build_bmp(3, 2, 4, [bytes([0x01, 0x20]), bytes([0x32, 0x10])], palette=PAL),
+        build_bmp(10, 2, 1,
+                  [bytes([0b10110000, 0b01000000]), bytes([0b00000001, 0b10000000])],
+                  palette=PAL[:2]),
+    ]
+    rng = np.random.RandomState(7)
+    for base in bases:
+        for trial in range(200):
+            data = bytearray(base)
+            mode = trial % 3
+            if mode == 0:
+                for _ in range(rng.randint(1, 5)):
+                    data[rng.randint(0, len(data))] = rng.randint(0, 256)
+            elif mode == 1:
+                data = data[: rng.randint(2, len(data))]
+            else:
+                at = rng.randint(0, len(data))
+                data = (data[:at]
+                        + bytes(rng.randint(0, 256, rng.randint(1, 20),
+                                            dtype=np.uint8).tolist())
+                        + data[at:])
+            try:
+                decode_bmp(bytes(data))
+            except (ValueError, NotImplementedError):
+                pass  # only allowed failures
+
+
 def test_real_decode_handles_bmp_in_sandbox():
     from deepseek_ocr_spark.operators.multimodal import _real_decode
 

@@ -85,6 +85,28 @@ def test_png_pdf_stream_gates():
         pixels.png_pdf_stream(bytes(good))
 
 
+def test_png_pdf_stream_mutation_fuzz():
+    """png_pdf_stream obeys the hostile-input contract: mutated/truncated
+    PNGs either decode-gate cleanly (None / a valid tuple) or raise
+    ValueError — never a deep zlib/struct exception."""
+    import numpy as np
+
+    base = pixels.encode_png(gradient(16, 12, 3))
+    rng = np.random.RandomState(9)
+    for trial in range(300):
+        data = bytearray(base)
+        if trial % 2:
+            for _ in range(rng.randint(1, 5)):
+                data[rng.randint(0, len(data))] = rng.randint(0, 256)
+        else:
+            data = data[: rng.randint(2, len(data))]
+        try:
+            info = pixels.png_pdf_stream(bytes(data))
+            assert info is None or len(info) == 4
+        except ValueError:
+            pass  # the only allowed failure
+
+
 def test_jpeg_passthrough_verbatim():
     jpg = jpeg_kernel.encode_jpeg_baseline(gradient(24, 16, 3), quality=90)
     data = build_pdf([PdfPage(24, 16, "jpeg", jpg)])
