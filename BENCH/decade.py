@@ -93,7 +93,11 @@ print(json.dumps({
 """
 
 
-def synthesize_x10(src: str, dst: str) -> None:
+def synthesize_xn(src: str, dst: str, copies: int) -> None:
+    """`copies` offset copies of the driver docs; odd copies get
+    reverse(text) so the corpus is never n-x-duplicated.  doc_id offsets
+    stay small enough that warc_ts = epoch + id*137s remains a valid
+    datetime even at x100 (~year 2454)."""
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -102,7 +106,7 @@ def synthesize_x10(src: str, dst: str) -> None:
         f"CREATE VIEW t AS SELECT * FROM '{src}/documents.parquet'"
     )
     parts = []
-    for k in range(10):
+    for k in range(copies):
         text = "reverse(text)" if k % 2 else "text"
         parts.append(
             f"SELECT doc_id + {k * OFF} AS doc_id, {text} AS text,"
@@ -130,13 +134,19 @@ def pinned_run(sf_dir: str) -> dict:
 
 def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    with tempfile.TemporaryDirectory(prefix="decade_x10_") as d:
-        synthesize_x10(src, d)
-        out = {"x1": pinned_run(src), "x10": pinned_run(d)}
-    out["slope"] = round(out["x10"]["sec"] / out["x1"]["sec"], 3)
-    out["throughput_ratio"] = round(
-        out["x10"]["pages_per_sec"] / out["x1"]["pages_per_sec"], 3
-    )
+    levels = [
+        int(x) for x in os.environ.get("DECADE_LEVELS", "1,10,100").split(",")
+    ]
+    out = {}
+    for lv in levels:
+        if lv == 1:
+            out["x1"] = pinned_run(src)
+            continue
+        with tempfile.TemporaryDirectory(prefix=f"decade_x{lv}_") as d:
+            synthesize_xn(src, d, lv)
+            out[f"x{lv}"] = pinned_run(d)
+    for lv in levels[1:]:
+        out[f"slope_x{lv}"] = round(out[f"x{lv}"]["sec"] / out["x1"]["sec"], 3)
     print(json.dumps(out))
     with open("BENCH/decade_r6.json", "w") as f:
         json.dump(out, f, indent=1)

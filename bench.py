@@ -128,6 +128,7 @@ def main() -> None:
         "dedup_spans_cut",
         "lm_bigram_score",
         "bpe_top_pairs",
+        "dedup_survivors",
     ]
     reg = registry()
     for name in bench_queries:

@@ -542,6 +542,11 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: dedup.dedup_spans_cut(_docs(s, d)),
         dedup.dedup_spans_cut_sql(),
     ),
+    # pairs → components → keep-the-longest survivor selection
+    "dedup_survivors": (
+        lambda s, d: dedup.dedup_survivors(_docs(s, d)),
+        dedup.dedup_survivors_sql(),
+    ),
     "dedup_lines_global": (
         lambda s, d: dedup.dedup_lines_global(_docs(s, d)),
         dedup.dedup_lines_global_sql(),
@@ -777,12 +782,12 @@ _DRIVER_HEAD: list[str] = [
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_capped",
     "dedup_minhash_pairs_16x4",
-    "dedup_incremental",
     # new in r6 — never driver-checked
     "dedup_spans",
     "dedup_spans_cut",
     "lm_bigram_score",
     "bpe_top_pairs",
+    "dedup_survivors",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

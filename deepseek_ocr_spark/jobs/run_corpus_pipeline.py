@@ -11,6 +11,8 @@ Writes under --output:
     clean/       corpus_clean survivors (dedup → language gate → quality gate)
     components/  near-dup connected components over the MinHash-LSH graph
                  (--with-components; iterative, off by default)
+    survivors/   keep-the-longest survivor selection per near-dup cluster
+                 (--with-components)
     stats/       one-row corpus stats: exact + HLL distinct texts with the
                  sketch's relative error, doc/kept counts
     quality/     per-doc repetition signals (dup-line / top-bigram fracs)
@@ -74,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.with_components:
         dedup.dedup_components(docs).write.mode("overwrite").parquet(
             os.path.join(args.output, "components")
+        )
+        dedup.dedup_survivors(docs).write.mode("overwrite").parquet(
+            os.path.join(args.output, "survivors")
         )
 
     hll = corpus_stats.hll_distinct(docs, col="text").withColumn(

@@ -1042,3 +1042,70 @@ SELECT doc_id,
        CAST(len(tk) - len(keep) AS BIGINT) AS n_removed
 FROM cut
 """
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_survivor) — the step that
+    completes the dedup pipeline: pairs → connected components →
+    SURVIVOR SELECTION.  Survivor policy is keep-the-LONGEST (max
+    n_chars, tiebreak lowest doc_id) — the realistic production choice
+    (the canonical copy of a boilerplate cluster is usually its fullest
+    rendering), not min-id; singletons are their own surviving cluster.
+
+    Plan shape: component labels from the iterative min-label propagation
+    (see dedup_components), then the per-cluster argmax is
+    ``min(struct(-n_chars, doc_id))`` — a map-side-combinable AGG, never
+    a window: a viral cluster (10^6 copies of one page) reduces per task
+    instead of sorting inside one partition (same rule as
+    dedup_lines_global).  NULL n_chars ranks last (coalesce to -1).  The
+    DuckDB oracle keeps a row_number-window formulation — two
+    independent derivations of the same survivor set."""
+    comp = dedup_components(docs, n_hashes, n_bands, max_iter)
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id", "left")
+    best = sized.groupBy("component_id").agg(
+        F.min(
+            F.struct(
+                (-F.coalesce(F.col("n_chars"), F.lit(-1))).alias("neg"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        sized.join(best, "component_id")
+        .select(
+            "doc_id",
+            F.col("component_id").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("doc_id") == F.col("_b.doc_id")).alias("is_survivor"),
+        )
+    )
+
+
+def dedup_survivors_sql(
+    table: str = "documents", n_hashes: int = N_MINHASHES, n_bands: int = N_BANDS
+) -> str:
+    return f"""
+WITH comp AS ({dedup_components_sql(table, n_hashes, n_bands)}),
+sized AS (
+  SELECT c.doc_id, c.component_id, d.n_chars
+  FROM comp c LEFT JOIN {table} d ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, component_id,
+         count(*) OVER (PARTITION BY component_id) AS cluster_size,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY coalesce(n_chars, -1) DESC,
+                                     doc_id ASC) AS rn
+  FROM sized
+)
+SELECT doc_id, component_id AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       rn = 1 AS is_survivor
+FROM ranked
+"""

@@ -64,6 +64,7 @@ EDGE_QUERIES = [
     "dedup_spans_cut",
     "lm_bigram_score",
     "bpe_top_pairs",
+    "dedup_survivors",
 ]
 
 QUERIES = entry_mod.queries()
