@@ -197,8 +197,20 @@ Methodology notes:
   scaffolding, not engine throughput.
 """
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    # the header table is regenerated wholesale, but round-by-round
+    # appended evidence below the marker is PRESERVED (an r6 invocation
+    # silently destroyed the r4-r6 notes before this guard existed;
+    # restored from git)
+    mark = ("<!-- round-by-round appended evidence;"
+            " scaling.py preserves everything below -->")
+    appended = ""
+    if os.path.exists(base):
+        with open(base) as f:
+            prev = f.read()
+        if mark in prev:
+            appended = prev.split(mark, 1)[1]
     with open(base, "w") as f:
-        f.write(md)
+        f.write(md + "\n" + mark + "\n" + appended)
     print(json.dumps({
         "pages": pages,
         "median_tput": med, "best_tput": best,
