@@ -129,6 +129,7 @@ def main() -> None:
         "lm_bigram_score",
         "bpe_top_pairs",
         "dedup_survivors",
+        "latest_event_per_user",
     ]
     reg = registry()
     for name in bench_queries:

@@ -422,6 +422,11 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: temporal.asof_join(_events(s, d), _t("orders")(s, d)),
         temporal.ASOF_JOIN_SQL,
     ),
+    # snapshot / revision dedup: newest row per key via max-struct agg
+    "latest_event_per_user": (
+        lambda s, d: temporal.latest_event_per_user(_events(s, d)),
+        temporal.latest_event_per_user_sql(),
+    ),
     "interval_join_views_clicks": (
         lambda s, d: temporal.interval_join_views_clicks(_events(s, d)),
         temporal.interval_join_views_clicks_sql(),
@@ -781,13 +786,13 @@ _DRIVER_HEAD: list[str] = [
     "dedup_minhash_signatures",
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_capped",
-    "dedup_minhash_pairs_16x4",
     # new in r6 — never driver-checked
     "dedup_spans",
     "dedup_spans_cut",
     "lm_bigram_score",
     "bpe_top_pairs",
     "dedup_survivors",
+    "latest_event_per_user",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

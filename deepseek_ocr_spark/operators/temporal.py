@@ -213,3 +213,50 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND v.ts <= c.ts
  AND v.ts >= c.ts - INTERVAL {within_minutes} MINUTES
 """
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """(user_id, ts, event_id, event_type, value) — the newest event per
+    user (tiebreak: highest event_id), i.e. the snapshot/revision-dedup
+    shape: keep the latest crawl of each url, the last state of each key.
+
+    Plan shape: ``max(struct(ts, event_id, ...))`` — ONE map-side-
+    combinable aggregation, deliberately NOT a row_number window: a hot
+    key (one user with 10^9 events / one url recrawled daily for years)
+    reduces to a single row per task before the shuffle, while a window
+    would sort all of its rows inside one partition (the
+    dedup_lines_global rule).  The DuckDB oracle keeps the row_number
+    formulation — two independent derivations."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("event_type"),
+                    F.col("value").alias("value"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "user_id",
+            F.col("_m.ts").alias("ts"),
+            F.col("_m.event_id").alias("event_id"),
+            F.col("_m.event_type").alias("event_type"),
+            F.col("_m.value").alias("value"),
+        )
+    )
+
+
+def latest_event_per_user_sql(table: str = "events") -> str:
+    return f"""
+SELECT user_id, ts, event_id, event_type, value
+FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM {table}
+)
+WHERE rn = 1
+"""
