@@ -882,23 +882,43 @@ def dedup_spans(
     for the gaps-and-islands merge.  NULL/short docs never emit
     windows.  The DuckDB oracle keeps the count-over-window formulation —
     two independent derivations of the same flagged set."""
-    from .traindata import _token_hashes
+    wins = span_windows(docs, w)
+    dup = wins.join(dup_window_table(docs, w, min_count), "g", "left_semi")
+    return _flagged_windows_to_spans(dup, w)
 
-    from pyspark.sql import Window as W
+
+def span_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, pos, g) — every w-token window digest, map-side."""
+    from .traindata import _token_hashes
 
     hdf = spread_input(docs.filter(F.col("text").isNotNull())).select(
         "doc_id", _token_hashes().alias("h")
     )
-    wins = hdf.select(
+    return hdf.select(
         "doc_id", F.posexplode(_span_digest_exprs(F.col("h"), w)).alias("pos", "g")
     )
-    dup_digests = (
-        wins.groupBy("g")
+
+
+def dup_window_table(
+    docs: DataFrame, w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> DataFrame:
+    """(g) digests occurring ≥ min_count times corpus-wide — the
+    materializable seen-set the streaming span probe consumes (analog of
+    band_table for near-dup)."""
+    return (
+        span_windows(docs, w)
+        .groupBy("g")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") >= min_count)
         .select("g")
     )
-    dup = wins.join(dup_digests, "g", "left_semi")
+
+
+def _flagged_windows_to_spans(dup: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, pos[, ...]) flagged windows → merged maximal spans via
+    gaps-and-islands (shared by the batch op and the streaming probe)."""
+    from pyspark.sql import Window as W
+
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     brk = F.when(F.col("pos") - F.lag("pos").over(wdoc) <= w, F.lit(0)).otherwise(
         F.lit(1)  # NULL lag (first window) also starts an island

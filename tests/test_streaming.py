@@ -280,6 +280,48 @@ def test_streaming_contamination_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_spans_matches_batch(spark, tmp_path):
+    """Stream span probe vs the materialized duplicated-window digest
+    table: streaming ALL docs against the full-corpus table must
+    reproduce the batch dedup_spans output exactly (probing each doc's
+    windows against the corpus-wide >=2 digest set IS the batch flag
+    rule)."""
+    from deepseek_ocr_spark.operators.dedup import dedup_spans, dup_window_table
+    from deepseek_ocr_spark.streaming.spans_stream import stream_spans_to_parquet
+
+    all_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = all_docs.select(
+        "doc_id",
+        F.expr("timestamp'2025-01-01' + make_interval(0,0,0,0,0,0,doc_id)").alias(
+            "warc_ts"
+        ),
+        "text",
+    )
+
+    in_dir, out_dir, ck, dups = (
+        str(tmp_path / d) for d in ("in", "out", "ck", "dups")
+    )
+    dup_window_table(all_docs).write.parquet(dups)
+    import os
+
+    os.makedirs(in_dir)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{in_dir}/b=0")
+    docs.filter("doc_id % 2 != 0").coalesce(1).write.parquet(f"{in_dir}/b=1")
+
+    q = stream_spans_to_parquet(spark, in_dir + "/*", dups, out_dir, ck)
+    q.awaitTermination(300)
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup_spans(all_docs).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join == the equivalent batch join (availableNow
     over a static directory; watermark large enough that nothing drops)."""
