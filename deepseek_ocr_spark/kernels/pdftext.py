@@ -6,14 +6,18 @@ a training-data pipeline runs first — extract embedded text where it
 exists, rasterize+OCR only the rest. Like kernels/pixels.py, it is an
 honest documented SUBSET with zero native deps:
 
-  SUPPORTED: classic (non-stream) xref PDFs; objects `N 0 obj … endobj`;
-  page content streams raw or /FlateDecode (zlib is stdlib); text operators
-  Tj, ' (quote), TJ arrays; literal `(…)`-strings with \\-escapes and octal;
-  hex `<…>`-strings (byte-per-2-hex); newline on Td/TD/T*/'.
-  NOT supported (returns what it can, never raises): xref streams
-  (PDF 1.5+ compressed object streams), CID/Type0 multi-byte encodings,
-  encryption. A hostile or unsupported payload yields fewer/empty pages,
-  not an exception — the same quarantine rule as every other source.
+  SUPPORTED: classic (non-stream) xref PDFs; PDF 1.5+ cross-reference
+  STREAMS (ISO 32000 §7.5.8: /Type/XRef with /W field widths, /Index
+  subsections, /Prev chain, FlateDecode + PNG /Predictor ≥ 10) and
+  OBJECT STREAMS (§7.5.7: /Type/ObjStm with /N pairs + /First); objects
+  `N 0 obj … endobj`; page content streams raw or /FlateDecode (zlib is
+  stdlib); text operators Tj, ' (quote), TJ arrays; literal `(…)`-strings
+  with \\-escapes and octal; hex `<…>`-strings (byte-per-2-hex); newline
+  on Td/TD/T*/'.
+  NOT supported (returns what it can, never raises): CID/Type0 multi-byte
+  encodings, encryption. A hostile or unsupported payload yields
+  fewer/empty pages, not an exception — the same quarantine rule as every
+  other source.
 
 Determinism: pure byte scanning + zlib; identical output on every
 executor, so the extracted text column is safe to hash for dedup.
@@ -76,6 +80,282 @@ def _ordered_page_nums(objs: dict[int, bytes]) -> list[int]:
 
 def _objects(data: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+
+
+# --- PDF 1.5+ cross-reference streams + object streams ------------------------
+# ISO 32000-1 §7.5.8 (/Type/XRef: /W field widths, /Index subsections,
+# /Prev chain, PNG-predicted Flate) and §7.5.7 (/Type/ObjStm: /N pairs in
+# the first /First bytes). The reference opens these via fitz
+# (vllm/run_dpsk_ocr_pdf.py:64-95); here they are parsed natively so modern
+# PDFs hit the cheap text-layer path instead of silently routing to OCR.
+
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_INDEX_RE = re.compile(rb"/Index\s*\[([\d\s]*)\]")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_INT_RE = re.compile(rb"\d+")
+
+
+def _png_unpredict(raw: bytes, columns: int) -> bytes:
+    """Undo PNG row prediction (/Predictor ≥ 10) on an xref stream: each
+    row is a filter byte + `columns` bytes, bpp = 1 (/Colors 1, /BPC 8 —
+    the xref-stream defaults). Rows are ~5 bytes; pure Python is fine."""
+    if columns <= 0:
+        return b""
+    rowlen = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(raw) - rowlen + 1, rowlen):
+        ft = raw[r]
+        row = bytearray(raw[r + 1 : r + rowlen])
+        if ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _balanced_dict_end(data: bytes, i: int) -> int:
+    """`i` at the opening `<<`; returns the index just past the matching
+    `>>`, skipping `(…)` literals and `<…>` hex strings. Raises ValueError
+    on unbalanced input."""
+    depth = 0
+    n = len(data)
+    while i < n:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        elif data[i : i + 1] == b"(":
+            _, i = _literal_string(data, i)
+        elif data[i : i + 1] == b"<":  # hex string
+            j = data.find(b">", i)
+            if j == -1:
+                raise ValueError("unterminated hex string")
+            i = j + 1
+        else:
+            i += 1
+    raise ValueError("unbalanced dict")
+
+
+def _object_at(data: bytes, off: int) -> tuple[int, bytes] | None:
+    """Parse the indirect object starting at byte `off` (an xref type-1
+    entry). Stream extents come from the dict's direct /Length so binary
+    streams containing b"endobj" cannot truncate the body (the scavenge
+    regex's known weakness). Returns (objnum, body) or None."""
+    m = _OBJ_HDR_RE.match(data, off)
+    if m is None:  # tolerate slightly-off offsets (leading whitespace)
+        m = _OBJ_HDR_RE.search(data, off, off + 32)
+        if m is None:
+            return None
+    num = int(m.group(1))
+    i = m.end()
+    n = len(data)
+    while i < n and data[i : i + 1].isspace():
+        i += 1
+    if data[i : i + 2] == b"<<":
+        try:
+            de = _balanced_dict_end(data, i)
+        except ValueError:
+            return None
+        j = de
+        while j < n and data[j : j + 1].isspace():
+            j += 1
+        if data[j : j + 6] == b"stream":
+            sm = _STREAM_START_RE.match(data, j)
+            if sm is None:
+                return None
+            start = sm.end()
+            lm = _LENGTH_RE.search(data, i, de)
+            end = None
+            if lm:
+                length = int(lm.group(1))
+                tail = data[start + length : start + length + 16]
+                if re.match(rb"\s*endstream", tail):
+                    end = start + length
+            if end is None:
+                em = data.find(b"endstream", start)
+                if em == -1:
+                    return None
+                end = em
+            eo = data.find(b"endobj", end)
+            if eo == -1:
+                eo = min(n, end + len(b"endstream") + 4)
+            return num, data[m.end() : eo]
+        eo = data.find(b"endobj", de)
+        if eo == -1:
+            return None
+        return num, data[m.end() : eo]
+    eo = data.find(b"endobj", i)
+    if eo == -1:
+        return None
+    return num, data[m.end() : eo]
+
+
+def _xref_stream_entries(data: bytes) -> dict[int, tuple] | None:
+    """Walk the cross-reference-stream chain from the LAST startxref
+    through /Prev. Returns {objnum: ('o', offset) | ('c', objstm_num,
+    idx)}; first-seen wins (the chain runs newest→oldest, so newer
+    incremental updates shadow older definitions). None when the document
+    has no parseable xref stream (classic PDFs → scavenge path)."""
+    sx = data.rfind(b"startxref")
+    if sx == -1:
+        return None
+    m = re.match(rb"startxref\s+(\d+)", data[sx : sx + 64])
+    if m is None:
+        return None
+    off = int(m.group(1))
+    entries: dict[int, tuple] = {}
+    seen_offsets: set[int] = set()
+    while 0 <= off < len(data) and off not in seen_offsets:
+        seen_offsets.add(off)
+        got = _object_at(data, off)
+        if got is None:
+            break
+        _, body = got
+        sm = _STREAM_START_RE.search(body)
+        head = body[: sm.start()] if sm else body
+        if not _XREF_TYPE_RE.search(head):
+            break  # classic xref table → not a stream chain
+        wm = _W_RE.search(head)
+        zm = _SIZE_RE.search(head)
+        stream = _stream_of(body)
+        if wm is None or zm is None or stream is None:
+            break
+        pm = _PREDICTOR_RE.search(head)
+        if pm and int(pm.group(1)) >= 10:
+            cm = _COLUMNS_RE.search(head)
+            w = [int(wm.group(k)) for k in (1, 2, 3)]
+            cols = int(cm.group(1)) if cm else sum(w)
+            stream = _png_unpredict(stream, cols)
+        w0, w1, w2 = (int(wm.group(k)) for k in (1, 2, 3))
+        rowlen = w0 + w1 + w2
+        if rowlen <= 0:
+            break
+        size = int(zm.group(1))
+        im = _INDEX_RE.search(head)
+        if im:
+            ints = [int(x) for x in _INT_RE.findall(im.group(1))]
+            index = list(zip(ints[0::2], ints[1::2]))
+        else:
+            index = [(0, size)]
+        pos = 0
+        for start, count in index:
+            for objnum in range(start, start + count):
+                row = stream[pos : pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    break
+                f0 = int.from_bytes(row[:w0], "big") if w0 else 1
+                f1 = int.from_bytes(row[w0 : w0 + w1], "big")
+                f2 = int.from_bytes(row[w0 + w1 :], "big")
+                if objnum in entries:
+                    continue
+                if f0 == 1:
+                    entries[objnum] = ("o", f1)
+                elif f0 == 2:
+                    entries[objnum] = ("c", f1, f2)
+        prm = _PREV_RE.search(head)
+        if prm is None:
+            break
+        off = int(prm.group(1))
+    return entries or None
+
+
+def _objstm_members(body: bytes) -> dict[int, bytes]:
+    """Expand one /Type/ObjStm: the decompressed stream starts with /N
+    (objnum, offset) integer pairs in its first /First bytes; member i's
+    body spans [First+off_i, First+off_{i+1})."""
+    stream = _stream_of(body)
+    sm = _STREAM_START_RE.search(body)
+    head = body[: sm.start()] if sm else body
+    nm = _N_RE.search(head)
+    fm = _FIRST_RE.search(head)
+    if stream is None or nm is None or fm is None:
+        return {}
+    n_objs = int(nm.group(1))
+    first = int(fm.group(1))
+    if first > len(stream) or n_objs <= 0 or n_objs > 1 << 20:
+        return {}
+    ints = [int(x) for x in _INT_RE.findall(stream[:first])]
+    pairs = list(zip(ints[0::2], ints[1::2]))[:n_objs]
+    members: dict[int, bytes] = {}
+    for i, (num, o) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < len(pairs) else len(stream) - first
+        if 0 <= o <= end <= len(stream) - first:
+            members[num] = stream[first + o : first + end]
+    return members
+
+
+def _resolve_objects(data: bytes) -> dict[int, bytes]:
+    """All reachable objects: the classic regex scavenge, then — when a
+    cross-reference-stream chain parses — the chain's type-1 offsets
+    override scavenged duplicates (incremental updates leave stale copies
+    the last-match scavenge would otherwise keep) and its type-2 entries
+    pull member objects out of their /Type/ObjStm containers. Without a
+    usable chain, every scavenged ObjStm is still expanded (members fill
+    only missing numbers) so modern PDFs with a damaged trailer keep
+    their page dicts. Never raises."""
+    objs = _objects(data)
+    try:
+        xref = _xref_stream_entries(data)
+    except Exception:
+        xref = None
+    if xref:
+        for num, ent in xref.items():
+            if ent[0] == "o":
+                got = _object_at(data, ent[1])
+                if got is not None and got[0] == num:
+                    objs[num] = got[1]
+        cache: dict[int, dict[int, bytes]] = {}
+        for num, ent in xref.items():
+            if ent[0] == "c":
+                stm = ent[1]
+                if stm not in cache:
+                    try:
+                        cache[stm] = _objstm_members(objs.get(stm, b""))
+                    except Exception:
+                        cache[stm] = {}
+                if num in cache[stm]:
+                    objs[num] = cache[stm][num]
+    else:
+        for num in sorted(objs):
+            if _OBJSTM_TYPE_RE.search(objs[num]):
+                try:
+                    for mnum, mbody in _objstm_members(objs[num]).items():
+                        objs.setdefault(mnum, mbody)
+                except Exception:
+                    pass
+    return objs
 
 
 def _stream_of(body: bytes) -> bytes | None:
@@ -230,7 +510,7 @@ def extract_pdf_text(data: bytes) -> list[str]:
     supported subset). Unsupported/hostile input degrades to fewer or
     empty pages; never raises."""
     try:
-        objs = _objects(data)
+        objs = _resolve_objects(data)
         pages = []
         for num in _ordered_page_nums(objs):
             body = objs[num]
@@ -304,4 +584,113 @@ def make_simple_pdf(pages: list[str], compress: bool = True) -> bytes:
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def make_modern_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """A PDF 1.5 fixture: catalog/pages/page dicts live inside a
+    /Type/ObjStm; content streams stay top-level (the spec forbids streams
+    inside object streams); the cross-reference is a /Type/XRef stream
+    with W [1 4 2] and PNG Up prediction (/Predictor 12) — the layout
+    modern generators emit, exercising every lane of the 1.5+ reader.
+    Tests carry an independent hand-built fixture as the spec; this writer
+    exists for corpus datagen and e2e mixes."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages node, page i → dict 3+2i (in
+    # the ObjStm), content 4+2i (top-level); then ObjStm, then XRef stream
+    objstm_num = 3 + 2 * n_pages
+    xref_num = objstm_num + 1
+    size = xref_num + 1
+
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    compressed_members: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
+    ]
+    top_level: dict[int, bytes] = {}
+    for i, text in enumerate(pages):
+        content_num = 4 + 2 * i
+        compressed_members.append(
+            (
+                3 + 2 * i,
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R >>".encode(),
+            )
+        )
+        lines = text.split("\n")
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                ops.append("0 -14 Td")
+            ops.append(f"({esc(line)}) Tj")
+        ops.append("ET")
+        stream = " ".join(ops).encode("latin-1")
+        if compress:
+            comp = zlib.compress(stream)
+            top_level[content_num] = (
+                f"<< /Length {len(comp)} /Filter /FlateDecode >>".encode()
+                + b"\nstream\n" + comp + b"\nendstream"
+            )
+        else:
+            top_level[content_num] = (
+                f"<< /Length {len(stream)} >>".encode()
+                + b"\nstream\n" + stream + b"\nendstream"
+            )
+
+    # object stream: header = "num off" pairs, bodies at /First + off
+    heads = []
+    bodies = bytearray()
+    for num, body in compressed_members:
+        heads.append(f"{num} {len(bodies)}")
+        bodies += body + b"\n"
+    header = (" ".join(heads) + "\n").encode()
+    payload = header + bytes(bodies)
+    comp_payload = zlib.compress(payload)
+    top_level[objstm_num] = (
+        f"<< /Type /ObjStm /N {len(compressed_members)} /First {len(header)} "
+        f"/Length {len(comp_payload)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n" + comp_payload + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(top_level):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + top_level[num] + b"\nendobj\n"
+
+    # xref stream rows, W = [1 4 2]
+    member_idx = {num: i for i, (num, _) in enumerate(compressed_members)}
+    rows: list[bytes] = []
+    for num in range(size):
+        if num == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))
+        elif num in member_idx:
+            rows.append(
+                b"\x02" + objstm_num.to_bytes(4, "big")
+                + member_idx[num].to_bytes(2, "big")
+            )
+        else:
+            off = offsets[num] if num in offsets else len(out)  # xref stream itself
+            rows.append(b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    rowlen = 7
+    # PNG Up prediction: filter byte 2, row minus previous row
+    pred = bytearray()
+    prev = bytes(rowlen)
+    for row in rows:
+        pred += b"\x02" + bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+        prev = row
+    comp_xref = zlib.compress(bytes(pred))
+    xref_at = len(out)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root 1 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns {rowlen} >> "
+        f"/Length {len(comp_xref)} >>".encode()
+        + b"\nstream\n" + comp_xref + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)

@@ -98,6 +98,10 @@ def _png_parse(data: bytes):
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
+            # same declared-dims sanity bound as the GIF/JPEG/BMP kernels:
+            # a hostile header must not size any allocation downstream
+            if w * h > (1 << 28):
+                raise ValueError(f"PNG dims too large: {w}x{h}")
         elif ctype == b"PLTE":
             plte = bytes(chunk)
         elif ctype == b"IDAT":
@@ -125,7 +129,16 @@ def png_pdf_stream(data: bytes):
         if bit_depth != 8 or interlace != 0 or color_type not in (0, 2):
             return None
         ch = 3 if color_type == 2 else 1
-        if len(zlib.decompress(idat)) != (w * ch + 1) * h:
+        # bounded inflate: cap the allocation at the declared filtered-row
+        # size so a hostile high-ratio deflate stream (~1000:1) cannot
+        # transiently allocate gigabytes before the length check
+        want = (w * ch + 1) * h
+        dec = zlib.decompressobj()
+        out = dec.decompress(idat, want + 1)
+        if dec.unconsumed_tail:
+            raise ValueError("PNG pixel data length mismatch")
+        out += dec.flush()
+        if len(out) != want:
             raise ValueError("PNG pixel data length mismatch")
         return w, h, ch, idat
     except ValueError:
@@ -143,8 +156,12 @@ def _decode_png(data: bytes) -> Image:
     if interlace != 0:
         raise ValueError("interlaced PNG unsupported")
     ch = _CT_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = w * ch
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), (stride + 1) * h + 1)
+    if dec.unconsumed_tail:
+        raise ValueError("PNG pixel data length mismatch")
+    raw += dec.flush()
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel data length mismatch")
     buf = _unfilter(raw, w, h, ch)

@@ -396,8 +396,10 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
 
     Model: P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V) over whitespace tokens
     (V = corpus vocabulary size); nll = -avg ln P over the doc's bigram
-    instances, ppl = exp(nll).  Both floats are SINGLE rounded
-    expressions (round(_,4)) so Spark and DuckDB agree bit-for-bit.
+    instances, ppl = exp(nll).  Each bigram's ln P is quantized once to
+    integer micro-nats so the per-doc sum is an exact BIGINT sum (order-
+    insensitive); the final floats are SINGLE rounded expressions
+    (round(_,4)) so Spark and DuckDB agree bit-for-bit.
 
     Plan shape (100 TB): per-doc bigram COUNTS aggregate first (one
     shuffle, map-side combinable — a doc's repeated bigram is one row),
@@ -448,10 +450,20 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
         .join(uni.withColumnRenamed("token", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
     )
+    # exact-arithmetic discipline (same rule as cents/HLL): each bigram's
+    # ln P is quantized ONCE to integer micro-nats, so the per-doc sum is
+    # a BIGINT sum — partition/aggregation order cannot change the value
+    # (a raw double sum(k*logp) under round(_,4) could flip on a rounding
+    # boundary between Spark and DuckDB)
     logp = F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")))
+    lq = F.round(logp * F.lit(1000000.0), 0).cast("bigint")
     agg = scored.groupBy("doc_id").agg(
         F.sum("k").cast("bigint").alias("n_bigrams"),
-        (-F.sum(F.col("k") * logp) / F.sum("k")).alias("_nll"),
+        (
+            (-F.sum(F.col("k") * lq)).cast("double")
+            / F.sum("k")
+            / F.lit(1000000.0)
+        ).alias("_nll"),
     )
     return agg.select(
         "doc_id",
@@ -487,7 +499,8 @@ uni AS (
 vocab AS (SELECT count(*) AS v FROM uni),
 scored AS (
   SELECT d.doc_id, d.k,
-         ln(CAST(b.cb + 1 AS DOUBLE) / (u.cu + vocab.v)) AS logp
+         CAST(round(ln(CAST(b.cb + 1 AS DOUBLE) / (u.cu + vocab.v))
+                    * 1000000.0) AS BIGINT) AS lq
   FROM doc_bg d
   JOIN bg b ON d.w1 = b.w1 AND d.w2 = b.w2
   JOIN uni u ON d.w1 = u.token
@@ -495,7 +508,8 @@ scored AS (
 ),
 agg AS (
   SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-         -sum(k * logp) / sum(k) AS _nll
+         CAST(-CAST(sum(k * lq) AS BIGINT) AS DOUBLE)
+           / CAST(sum(k) AS BIGINT) / 1000000.0 AS _nll
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_bigrams, round(_nll, 4) AS nll, round(exp(_nll), 4) AS ppl

@@ -226,7 +226,9 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     reduces to a single row per task before the shuffle, while a window
     would sort all of its rows inside one partition (the
     dedup_lines_global rule).  The DuckDB oracle keeps the row_number
-    formulation — two independent derivations."""
+    formulation — two independent derivations; its ORDER BY extends past
+    (ts, event_id) into event_type/value so both engines share the SAME
+    total order even if (user_id, ts, event_id) is ever non-unique."""
     return (
         events.groupBy("user_id")
         .agg(
@@ -255,7 +257,8 @@ SELECT user_id, ts, event_id, event_type, value
 FROM (
   SELECT user_id, ts, event_id, event_type, value,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
+                            ORDER BY ts DESC, event_id DESC,
+                                     event_type DESC, value DESC) AS rn
   FROM {table}
 )
 WHERE rn = 1

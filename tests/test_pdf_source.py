@@ -328,3 +328,150 @@ def test_run_extract_from_pdf_dir(spark, tmp_path):
     # the image-only PDF flows through the same job via the OCR route
     scan = rows["scan.pdf"]
     assert scan["n_pages"] == 1 and "[ocr:p0 1224x1584" in scan["text"]
+
+
+# --- PDF 1.5+: cross-reference streams + object streams ----------------------
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_modern_pdf_writer_roundtrip(compress):
+    from deepseek_ocr_spark.kernels.pdftext import make_modern_pdf
+
+    pages = ["modern page one\nsecond line", "page two", ""]
+    assert extract_pdf_text(make_modern_pdf(pages, compress=compress)) == pages
+
+
+def test_hand_built_xref_stream_objstm_fixture():
+    """A PDF 1.5 file assembled BY HAND in the test (not by
+    make_modern_pdf): catalog/pages/page dicts inside a /Type/ObjStm,
+    an UNFILTERED /Type/XRef stream with W [1 2 1] and a two-subsection
+    /Index — none of which the writer emits (it uses W [1 4 2],
+    Predictor 12, a single Index run). The parser must not depend on the
+    writer's conventions (ISO 32000 §7.5.7/§7.5.8)."""
+    from deepseek_ocr_spark.kernels.pdftext import _xref_stream_entries
+
+    content = b"BT (xref stream page) Tj 0 -14 Td (line two) Tj ET"
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    offs[4] = len(out)
+    out += (
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    members = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    heads, bodies = [], bytearray()
+    for num, body in members:
+        heads.append(f"{num} {len(bodies)}")
+        bodies += body + b"\n"
+    header = (" ".join(heads) + "\n").encode()
+    payload = zlib.compress(header + bytes(bodies))
+    offs[5] = len(out)
+    out += (
+        b"5 0 obj\n<< /Type /ObjStm /N 3 /First " + str(len(header)).encode()
+        + b" /Length " + str(len(payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + payload + b"\nendstream\nendobj\n"
+    )
+    xref_off = len(out)
+
+    def row(t, f1, f2):
+        return bytes([t]) + f1.to_bytes(2, "big") + bytes([f2])
+
+    rows = (
+        row(0, 0, 255)
+        + row(2, 5, 0) + row(2, 5, 1) + row(2, 5, 2)   # objs 1-3 in ObjStm 5
+        + row(1, offs[4], 0) + row(1, offs[5], 0)       # content + ObjStm
+        + row(1, xref_off, 0)                            # the xref stream itself
+    )
+    out += (
+        b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 2 1] /Index [0 1 1 6] "
+        b"/Root 1 0 R /Length " + str(len(rows)).encode() + b" >>\nstream\n"
+        + rows + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF\n"
+    pdf = bytes(out)
+
+    # the xref-stream lane itself must parse (not just the scavenge fallback)
+    entries = _xref_stream_entries(pdf)
+    assert entries == {  # type-0 (free) rows are skipped, not stored
+        1: ("c", 5, 0), 2: ("c", 5, 1), 3: ("c", 5, 2),
+        4: ("o", offs[4]), 5: ("o", offs[5]), 6: ("o", xref_off),
+    }
+    assert extract_pdf_text(pdf) == ["xref stream page\nline two"]
+
+
+def test_modern_pdf_xref_overrides_trailing_garbage():
+    """A stale/hostile duplicate object appended after %%EOF (the
+    polyglot-tail shape) must NOT shadow the live object: the xref chain
+    decides which definition wins, not last-in-file scavenge order."""
+    from deepseek_ocr_spark.kernels.pdftext import make_modern_pdf
+
+    pdf = make_modern_pdf(["real content"])
+    fake = b"BT (fake content) Tj ET"
+    evil = (
+        pdf + b"\n4 0 obj\n<< /Length " + str(len(fake)).encode()
+        + b" >>\nstream\n" + fake + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(evil) == ["real content"]
+    # without the trailing garbage the classic scavenge agrees
+    assert extract_pdf_text(pdf) == ["real content"]
+
+
+def test_modern_pdf_fallback_without_xref():
+    """Damaged trailer (no usable startxref): every scavenged ObjStm is
+    still expanded, so the page tree inside it stays reachable."""
+    from deepseek_ocr_spark.kernels.pdftext import make_modern_pdf
+
+    pdf = make_modern_pdf(["alpha one", "beta two"])
+    broken = pdf.replace(b"startxref", b"stopxref!")
+    assert extract_pdf_text(broken) == ["alpha one", "beta two"]
+
+
+def test_modern_pdf_hostile_never_raises():
+    import random
+
+    from deepseek_ocr_spark.kernels.pdftext import make_modern_pdf
+
+    pdf = make_modern_pdf(["page a", "page b"])
+    # truncations at every granularity
+    for cut in [0, 10, len(pdf) // 3, len(pdf) // 2, len(pdf) - 8]:
+        assert isinstance(extract_pdf_text(pdf[:cut]), list)
+    # corrupt ObjStm payload → empty pages, no raise
+    import re as _re
+
+    m = _re.search(rb"/Type /ObjStm.*?stream\r?\n", pdf, _re.S)
+    bad = pdf[: m.end()] + b"GARBAGE!" + pdf[m.end() + 8 :]
+    assert isinstance(extract_pdf_text(bad), list)
+    # point mutations
+    rng = random.Random(1307)
+    for _ in range(150):
+        b = bytearray(pdf)
+        for _k in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        assert isinstance(extract_pdf_text(bytes(b)), list)
+
+
+def test_modern_pdf_spark_source_hit_rate(spark, tmp_path):
+    """Mixed corpus with a PDF 1.5 document: the modern PDF now hits the
+    cheap text-layer route (before this round it silently fell through to
+    the OCR raster path)."""
+    from deepseek_ocr_spark.kernels.pdftext import make_modern_pdf
+    from deepseek_ocr_spark.sources.pdf import pdf_pages
+
+    rows = [
+        ("classic", make_simple_pdf(["classic text"])),
+        ("modern", make_modern_pdf(["modern text layer"])),
+        ("scanned", make_simple_pdf([""])),
+    ]
+    docs = spark.createDataFrame(rows, "url STRING, pdf BINARY")
+    out = {r["url"]: r for r in pdf_pages(docs).collect()}
+    assert out["modern"]["route"] == "text"
+    assert out["modern"]["text"] == "modern text layer"
+    assert out["classic"]["route"] == "text"
+    assert out["scanned"]["route"] == "ocr"
+    routes = [r["route"] for r in out.values()]
+    assert routes.count("text") == 2  # hit-rate 2/3, up from 1/3 pre-1.5 support
