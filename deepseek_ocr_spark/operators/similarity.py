@@ -18,7 +18,7 @@ a bucket-equi-join — the 100 TB path, since each probe touches one bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -274,14 +274,16 @@ def _centroids(n_centroids: int, dim: int):
 
 
 def _scored_against_centroids(
-    emb: DataFrame, n_centroids: int, dim: int
+    emb: DataFrame, n_centroids: int, dim: int, codebook=None
 ) -> DataFrame:
     """(vec_id, centroid_id, ccos) via a broadcast n_centroids-row cross
-    join — same shape as the tile-plan argmin."""
+    join — same shape as the tile-plan argmin. ``codebook`` overrides the
+    deterministic literal centroids (the trained-k-means path)."""
     spark = emb.sparkSession
     cent_df = F.broadcast(
         spark.createDataFrame(
-            _centroids(n_centroids, dim), "centroid_id INT, cvec ARRAY<DOUBLE>"
+            codebook if codebook is not None else _centroids(n_centroids, dim),
+            "centroid_id INT, cvec ARRAY<DOUBLE>",
         )
     )
     e, c = F.col("embedding"), F.col("cvec")
@@ -292,13 +294,13 @@ def _scored_against_centroids(
 
 
 def ivf_assignments(
-    emb: DataFrame, n_centroids: int = N_CENTROIDS, dim: int = 64
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, dim: int = 64, codebook=None
 ) -> DataFrame:
     """(vec_id, centroid_id) — each vector assigned to its max-cosine
     centroid (ties → lowest centroid_id). Map-side min(struct) argmax over
     the broadcast codebook — zero shuffle; at 100 TB this is the
     materialized index table, written partitioned by centroid_id."""
-    scored = _scored_against_centroids(emb, n_centroids, dim)
+    scored = _scored_against_centroids(emb, n_centroids, dim, codebook=codebook)
     best = scored.groupBy("vec_id").agg(
         F.min(
             F.struct((-F.col("ccos")).alias("nc"), F.col("centroid_id").alias("cid"))
@@ -314,6 +316,7 @@ def ivf_probe_centroids(
     n_centroids: int = N_CENTROIDS,
     dim: int = 64,
     query_vec: list[float] | None = None,
+    codebook=None,
 ) -> list[int]:
     """The ``n_probe`` centroid ids nearest the query vector.
 
@@ -330,7 +333,7 @@ def ivf_probe_centroids(
             [(query_vec_id, [float(v) for v in query_vec])],
             "vec_id INT, embedding ARRAY<DOUBLE>",
         )
-    scored = _scored_against_centroids(src, n_centroids, dim)
+    scored = _scored_against_centroids(src, n_centroids, dim, codebook=codebook)
     rows = (
         scored.orderBy(F.col("ccos").desc(), F.col("centroid_id"))
         .limit(n_probe)
@@ -350,6 +353,7 @@ def ann_ivf_topk(
     dim: int = 64,
     assignments: DataFrame | None = None,
     query_vec: list[float] | None = None,
+    codebook=None,
 ) -> DataFrame:
     """IVF ANN: scan only the ``n_probe`` centroid buckets nearest the
     query — the inverted-file counterpart to the hyperplane-LSH path; each
@@ -365,10 +369,11 @@ def ann_ivf_topk(
     query; tests/test_plan_lints.py now pins the single-join shape."""
     qvec = query_vec if query_vec is not None else _fetch_embedding(emb, query_vec_id)
     probes = ivf_probe_centroids(
-        emb, query_vec_id, n_probe, n_centroids, dim, query_vec=qvec
+        emb, query_vec_id, n_probe, n_centroids, dim, query_vec=qvec,
+        codebook=codebook,
     )
     if assignments is None:
-        assignments = ivf_assignments(emb, n_centroids, dim)
+        assignments = ivf_assignments(emb, n_centroids, dim, codebook=codebook)
     cand = (
         assignments.filter(F.col("centroid_id").isin(probes))
         .select("vec_id")
@@ -442,6 +447,7 @@ def ann_recall(
     variants = [
         ("ivf", ann_ivf_topk(emb, query_vec_id, k, dim=dim, query_vec=qvec,
                              assignments=assignments)),
+        ("ivf_trained", ann_ivf_trained_topk(emb, query_vec_id, k, dim=dim)),
         ("lsh_16", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=4,
                                 query_vec=qvec)),
         ("lsh_256", ann_lsh_topk(emb, query_vec_id, k, dim=dim, n_planes=8,
@@ -473,6 +479,7 @@ FROM ({inner}) a JOIN brute USING (vec_id)"""
     return f"""
 WITH brute AS (SELECT vec_id FROM ({cosine_topk_sql(query_vec_id, k)}))
 {leg("ivf", ann_ivf_topk_sql(query_vec_id, k, dim=dim))}
+UNION ALL {leg("ivf_trained", ann_ivf_trained_sql(query_vec_id, k, dim=dim))}
 UNION ALL {leg("lsh_16", ann_lsh_topk_sql(query_vec_id, k, dim, 4))}
 UNION ALL {leg("lsh_256", ann_lsh_topk_sql(query_vec_id, k, dim, 8))}
 """
@@ -524,4 +531,333 @@ final AS (
   WHERE e.vec_id != {query_vec_id}
 )
 SELECT vec_id, cos FROM final ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+# --- trained IVF codebook: fixed-iteration Lloyd's k-means as a Spark job ----
+# A real 100 TB ANN index trains its centroids on the data (FAISS IVF,
+# SCANN); the literal codebook above keeps the dataflow data-independent,
+# this section closes the quality gap. Driver loop of K Lloyd iterations —
+# the same shape as dedup.components_from_edges: each round is one
+# broadcast-assign job plus one quantized-mean recentre job; only the
+# n_centroids×dim centroid table ever reaches the driver, never the corpus.
+
+KMEANS_ITERS = 3
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = KMEANS_ITERS,
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Fixed-iteration Lloyd's over the embedding table; fully
+    deterministic, so a DuckDB oracle can unroll the same K iterations.
+
+    - init: the embeddings of the ``n_centroids`` lowest vec_ids
+      (deterministic, SQL-expressible seeding).
+    - assign: max-cosine centroid per vector (round(ccos,6), ties → lowest
+      centroid_id) against the BROADCAST codebook — zero shuffle.
+    - recentre: per-dimension mean in exact integer micro-units
+      (CAST(round(v*1e6) AS BIGINT) summed as BIGINT, then ONE double
+      division) — partition order cannot change a centroid bit, the same
+      exact-arithmetic discipline as the cents/HLL aggregates. The
+      explode is dim× rows but map-side combinable: one (centroid, dim)
+      shuffle of ~n_centroids*dim result rows.
+    - empty clusters keep their previous centroid (mirrored in SQL via
+      LEFT JOIN + coalesce)."""
+    spark = emb.sparkSession
+    init = (
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    codebook = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init
+    )
+    for _ in range(n_iter):
+        assign = ivf_assignments(emb, n_centroids, dim, codebook=codebook)
+        q = F.round(F.col("v") * F.lit(1000000.0), 0).cast("bigint")
+        comp = (
+            assign.join(emb, "vec_id")
+            .select(
+                "centroid_id",
+                F.posexplode(
+                    F.transform("embedding", lambda x: x.cast("double"))
+                ).alias("i", "v"),
+            )
+            .groupBy("centroid_id", "i")
+            .agg(
+                (
+                    F.sum(q).cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)
+                ).alias("comp")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in comp:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["i"])] = float(
+                r["comp"]
+            )
+        codebook = [
+            (
+                cid,
+                [by_cid[cid][i] for i in range(dim)] if cid in by_cid else vec,
+            )
+            for cid, vec in codebook
+        ]
+    return codebook
+
+
+def ann_ivf_trained_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    n_iter: int = KMEANS_ITERS,
+    dim: int = 64,
+) -> DataFrame:
+    """ann_ivf_topk over a codebook TRAINED on this corpus (Lloyd's,
+    ``n_iter`` rounds) with the index materialized — the deployment shape:
+    train offline, write assignments partitioned by centroid_id, serve
+    probes against the materialized table (eager localCheckpoint here,
+    GC-reclaimable, same rationale as ann_ivf_topk_indexed)."""
+    codebook = kmeans_codebook(emb, n_centroids, n_iter, dim)
+    assignments = ivf_assignments(
+        emb, n_centroids, dim, codebook=codebook
+    ).localCheckpoint()
+    return ann_ivf_topk(
+        emb, query_vec_id, k, n_centroids, n_probe, dim,
+        assignments=assignments, codebook=codebook,
+    )
+
+
+def _kmeans_cents_cte(n_centroids: int, n_iter: int, dim: int) -> tuple[str, str]:
+    """(cte_chain, final_name): the unrolled Lloyd iterations as DuckDB
+    CTEs — cent0 (seed) then assign{j}/cent{j+1} pairs, numerically
+    bit-matched to kmeans_codebook (same round(ccos,6) argmax, same
+    integer-micro-unit means)."""
+    ccos = (
+        "round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.cvec[i] "
+        "FOR i IN range(1, len(e.embedding) + 1)]) "
+        "/ (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding])) "
+        "* sqrt(list_sum([x * x FOR x IN c.cvec]))), 6)"
+    )
+    parts = [
+        f"""cent0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {n_centroids}
+)"""
+    ]
+    for j in range(n_iter):
+        parts.append(
+            f"""assign{j} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ccos} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent{j} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""cent{j + 1} AS (
+  SELECT p.centroid_id, coalesce(n.cvec, p.cvec) AS cvec
+  FROM cent{j} p LEFT JOIN (
+    SELECT centroid_id, list(comp ORDER BY i) AS cvec FROM (
+      SELECT a.centroid_id, t.i,
+             CAST(CAST(sum(CAST(round(t.v * 1000000.0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / count(*) / 1000000.0 AS comp
+      FROM assign{j} a JOIN (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+      ) t USING (vec_id)
+      GROUP BY a.centroid_id, t.i
+    ) GROUP BY centroid_id
+  ) n USING (centroid_id)
+)"""
+        )
+    return ",\n".join(parts), f"cent{n_iter}"
+
+
+def ann_ivf_trained_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    n_iter: int = KMEANS_ITERS,
+    dim: int = 64,
+) -> str:
+    chain, final = _kmeans_cents_cte(n_centroids, n_iter, dim)
+    ccos = (
+        "round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.cvec[i] "
+        "FOR i IN range(1, len(e.embedding) + 1)]) "
+        "/ (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding])) "
+        "* sqrt(list_sum([x * x FOR x IN c.cvec]))), 6)"
+    )
+    return f"""
+WITH {chain},
+scored AS (
+  SELECT e.vec_id, c.centroid_id, {ccos} AS ccos
+  FROM embeddings e CROSS JOIN {final} c
+),
+assignments AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT centroid_id FROM scored WHERE vec_id = {query_vec_id}
+  ORDER BY ccos DESC, centroid_id LIMIT {n_probe}
+),
+cand AS (
+  SELECT a.vec_id FROM assignments a JOIN probe p USING (centroid_id)
+  UNION SELECT {query_vec_id}
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+final AS (
+  SELECT e.vec_id,
+         round(
+           list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                     FOR i IN range(1, len(e.embedding) + 1)])
+           / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding]))
+              * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN q.qv]))),
+           4) AS cos
+  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, qv q
+  WHERE e.vec_id != {query_vec_id}
+)
+SELECT vec_id, cos FROM final ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+# --- batched ANN: top-k neighbor for EVERY vector (SemDeDup shape) -----------
+
+
+def ann_ivf_topk_all(
+    emb: DataFrame,
+    k: int = 1,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    dim: int = 64,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, nn_vec_id, cos) — the ``k`` nearest neighbors of EVERY
+    vector, restricted to each vector's ``n_probe`` nearest centroid
+    buckets: the all-pairs semantic-dedup shape (SemDeDup, Abbas et al.
+    2023) without the all-pairs cost.
+
+    Plan shape (100 TB): the corpus scores against the BROADCAST codebook
+    once (zero shuffle), per-vector probe sets come from a window over
+    exactly n_centroids rows per vec_id (uniform partitions — no skew by
+    construction), candidate pairs form via ONE centroid_id-keyed
+    equi-join of (probe side × materialized index side), and the final
+    per-vector top-k is a min(struct) agg for k=1 (map-side combinable,
+    hot-bucket safe) or an exactly-n-candidate window otherwise. Cost is
+    sum over buckets of |bucket|·|probes into bucket| — bucketed, never
+    all-pairs; a skewed bucket splits under AQE skew-join."""
+    scored = _scored_against_centroids(emb, n_centroids, dim)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "centroid_id")
+    )
+    if assignments is None:
+        assignments = ivf_assignments(emb, n_centroids, dim)
+    left = probes.join(emb, "vec_id").select(
+        F.col("vec_id"), F.col("centroid_id"), F.col("embedding").alias("qe")
+    )
+    right = assignments.join(emb, "vec_id").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("centroid_id"),
+        F.col("embedding").alias("ce"),
+    )
+    pairs = left.join(right, "centroid_id").filter(
+        F.col("vec_id") != F.col("cand_id")
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))),
+        4,
+    )
+    scored_pairs = pairs.select("vec_id", "cand_id", cos.alias("cos"))
+    if k == 1:
+        best = scored_pairs.groupBy("vec_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("nc"), F.col("cand_id").alias("cid")
+                )
+            ).alias("b")
+        )
+        return best.select(
+            "vec_id",
+            F.col("b.cid").alias("nn_vec_id"),
+            (-F.col("b.nc")).alias("cos"),
+        )
+    wk = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    return (
+        scored_pairs.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", F.col("cand_id").alias("nn_vec_id"), "cos")
+    )
+
+
+def ann_ivf_topk_all_sql(
+    k: int = 1,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    dim: int = 64,
+) -> str:
+    ccos = (
+        "round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.cvec[i] "
+        "FOR i IN range(1, len(e.embedding) + 1)]) "
+        "/ (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding])) "
+        "* sqrt(list_sum([x * x FOR x IN c.cvec]))), 6)"
+    )
+    pcos = (
+        "round(list_sum([CAST(l.qe[i] AS DOUBLE) * CAST(r.ce[i] AS DOUBLE) "
+        "FOR i IN range(1, len(l.qe) + 1)]) "
+        "/ (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN l.qe])) "
+        "* sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN r.ce]))), 4)"
+    )
+    return f"""
+WITH scored AS (
+  SELECT e.vec_id, c.centroid_id, {ccos} AS ccos
+  FROM embeddings e CROSS JOIN {_centroids_values_sql(n_centroids, dim)}
+),
+probes AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn <= {n_probe}
+),
+assignments AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT l.vec_id, r.cand_id, {pcos} AS cos
+  FROM (SELECT p.vec_id, p.centroid_id, e.embedding AS qe
+        FROM probes p JOIN embeddings e USING (vec_id)) l
+  JOIN (SELECT a.vec_id AS cand_id, a.centroid_id, e.embedding AS ce
+        FROM assignments a JOIN embeddings e USING (vec_id)) r
+    ON l.centroid_id = r.centroid_id AND l.vec_id != r.cand_id
+)
+SELECT vec_id, cand_id AS nn_vec_id, cos FROM (
+  SELECT vec_id, cand_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rn
+  FROM pairs
+) WHERE rn <= {k}
 """

@@ -1,0 +1,157 @@
+"""Trained IVF codebook (similarity.kmeans_codebook): Lloyd's semantics on
+a hand-built clustered corpus, empty-cluster handling, determinism, the
+recall criterion vs the literal codebook, and the batched all-vectors ANN
+(ann_ivf_topk_all) against a brute-force transcription."""
+
+import math
+
+import pytest
+
+from deepseek_ocr_spark.operators import similarity as S
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+
+CLUSTERED = [
+    # three tight clusters around the axes; vec 0/1/2 are the seeds
+    (0, [1.0, 0.1, 0.0, 0.0]),
+    (1, [0.1, 1.0, 0.0, 0.0]),
+    (2, [0.0, 0.1, 1.0, 0.0]),
+    (3, [0.9, 0.0, 0.1, 0.0]),
+    (4, [1.1, 0.2, 0.0, 0.1]),
+    (5, [0.0, 0.9, 0.1, 0.0]),
+    (6, [0.2, 1.1, 0.0, 0.1]),
+    (7, [0.1, 0.0, 0.9, 0.1]),
+    (8, [0.0, 0.2, 1.1, 0.0]),
+]
+
+
+def test_kmeans_recovers_clusters(spark):
+    emb = _emb_df(spark, CLUSTERED)
+    codebook = S.kmeans_codebook(emb, n_centroids=3, n_iter=2, dim=4)
+    assert [cid for cid, _ in codebook] == [0, 1, 2]
+    # each trained centroid points at its cluster's dominant axis
+    for cid, vec in codebook:
+        assert max(range(4), key=lambda i: vec[i]) == cid
+    # assignments under the trained codebook are the planted clusters
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assignments(emb, 3, 4, codebook=codebook).collect()
+    }
+    assert assign == {0: 0, 3: 0, 4: 0, 1: 1, 5: 1, 6: 1, 2: 2, 7: 2, 8: 2}
+
+
+def test_kmeans_centroid_is_quantized_mean(spark):
+    """Recentred components are exactly sum(round(v*1e6))/n/1e6 — the
+    integer-micro-unit mean, computed here by hand from the planted
+    cluster membership."""
+    emb = _emb_df(spark, CLUSTERED)
+    codebook = dict(S.kmeans_codebook(emb, n_centroids=3, n_iter=1, dim=4))
+    members = {0: [0, 3, 4], 1: [1, 5, 6], 2: [2, 7, 8]}
+    vecs = dict(CLUSTERED)
+    for cid, ids in members.items():
+        for i in range(4):
+            # float32 storage: round over the float32-exact double value
+            s = sum(
+                round(float(_f32(vecs[v][i])) * 1e6) for v in ids
+            )
+            expect = s / len(ids) / 1e6
+            assert codebook[cid][i] == expect
+
+
+def _f32(x: float) -> float:
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # vec 2 duplicates vec 1 → seed 2's cluster empties (ties go to the
+    # lowest centroid id); its centroid must stay at the init vector
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.1]),
+    ]
+    emb = _emb_df(spark, rows)
+    codebook = S.kmeans_codebook(emb, n_centroids=3, n_iter=2, dim=2)
+    assert dict(codebook)[2] == [0.0, 1.0]  # untouched init
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assignments(emb, 3, 2, codebook=codebook).collect()
+    }
+    assert 2 not in set(assign.values())
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    emb = _emb_df(spark, CLUSTERED).repartition(4)
+    a = S.kmeans_codebook(emb, n_centroids=3, n_iter=3, dim=4)
+    b = S.kmeans_codebook(emb, n_centroids=3, n_iter=3, dim=4)
+    assert a == b  # exact float equality — integer-micro-unit means
+
+
+def test_trained_beats_literal_codebook_recall(spark):
+    """The round-7 acceptance bar: recall@10 of the trained index >= the
+    literal-codebook index on the driver embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r["method"]: r["recall"] for r in S.ann_recall(emb).collect()}
+    assert rows["ivf_trained"] >= rows["ivf"]
+
+
+def test_ann_ivf_topk_all_matches_bruteforce_within_probes(spark):
+    """k=1 agg lane and k=2 window lane agree with a brute-force Python
+    transcription of 'best cosine within my n_probe buckets'."""
+    emb = _emb_df(spark, CLUSTERED)
+    vecs = {i: [float(_f32(x)) for x in v] for i, v in CLUSTERED}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    n_centroids, n_probe = 3, 2
+    codebook = S._centroids(n_centroids, 4)
+
+    def ccos(v, c):
+        d = sum(x * y for x, y in zip(v, c))
+        nv = math.sqrt(sum(x * x for x in v))
+        nc = math.sqrt(sum(x * x for x in c))
+        return round(d / (nv * nc), 6)
+
+    assign = {
+        i: min(codebook, key=lambda c: (-ccos(v, c[1]), c[0]))[0]
+        for i, v in vecs.items()
+    }
+    probes = {
+        i: [c for c, _ in sorted(codebook, key=lambda c: (-ccos(v, c[1]), c[0]))][:n_probe]
+        for i, v in vecs.items()
+    }
+    expected = {}
+    for i, v in vecs.items():
+        cands = [
+            (j, cos(v, vecs[j]))
+            for j in vecs
+            if j != i and assign[j] in probes[i]
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        expected[i] = cands
+    got1 = {
+        r["vec_id"]: (r["nn_vec_id"], r["cos"])
+        for r in S.ann_ivf_topk_all(emb, k=1, n_centroids=3, dim=4).collect()
+    }
+    assert got1 == {i: c[0] for i, c in expected.items() if c}
+    got2 = {}
+    for r in S.ann_ivf_topk_all(emb, k=2, n_centroids=3, dim=4).collect():
+        got2.setdefault(r["vec_id"], []).append((r["nn_vec_id"], r["cos"]))
+    assert got2 == {i: c[:2] for i, c in expected.items() if c}
+
+
+def test_ann_ivf_topk_all_no_cartesian(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = S.ann_ivf_topk_all(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
