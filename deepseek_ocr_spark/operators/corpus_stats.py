@@ -591,3 +591,143 @@ ranked AS (
 )
 SELECT a, b, cnt, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
 """
+
+
+# --- multi-iteration BPE: the actual tokenizer-training merge loop -----------
+
+BPE_MERGE_STEPS = 5
+
+
+def _bpe_adjacent_pairs(syms) -> "F.Column":
+    """Adjacent symbol pairs of an array<string> column (hoisted column
+    rule: ``syms`` is a real projected column, so element_at is O(1))."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + F.lit(1)).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _bpe_apply_merge(syms, a: str, b: str) -> "F.Column":
+    """Greedy left-to-right merge of adjacent (a, b) into a||b — the
+    classic BPE application rule ("aaaa" + (a,a) → [aa, aa]): a left fold
+    that conditionally rewrites the accumulator's last element. The merge
+    pair is a LITERAL by plan-build time (collected by the driver loop),
+    mirroring the DuckDB lambda's captured 1-row join."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGE_STEPS) -> DataFrame:
+    """(step, a, b, cnt) — the first ``n_merges`` BPE merges in training
+    order (Sennrich et al. 2016), i.e. the actual tokenizer-training loop
+    rather than bpe_top_pairs' single-step candidate ranking.
+
+    Scale shape: the corpus collapses ONCE to the word-frequency table
+    (~vocabulary-sized); each iteration re-counts adjacent symbol pairs
+    over that table and applies the argmax merge as a fold — the corpus is
+    never rescanned, the same driver-loop-over-small-state shape as
+    kmeans_codebook and components_from_edges. The state table is
+    localCheckpoint'ed per round so fold lambdas don't compound into one
+    exponential plan. Merge selection is a TakeOrdered 1-row collect
+    (cnt DESC, a, b — deterministic cross-engine tie-break); the DuckDB
+    oracle unrolls the same K iterations."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(F.split("word", "").alias("syms"), "wc")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pc = (
+            words.select("wc", F.explode(_bpe_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        )
+        top = (
+            pc.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((step, a, b, cnt))
+        words = words.select(
+            _bpe_apply_merge(F.col("syms"), a, b).alias("syms"), "wc"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step INT, a STRING, b STRING, cnt BIGINT"
+    )
+
+
+def bpe_merges_sql(table: str = "documents", n_merges: int = BPE_MERGE_STEPS) -> str:
+    """The same K-iteration merge loop unrolled as CTEs; each iteration's
+    argmax pair is a 1-row CTE the next words CTE captures in its fold
+    lambda (same list_reduce modify-last shape as _bpe_apply_merge)."""
+    parts = [
+        f"""words0 AS (
+  SELECT string_split(word, '') AS syms, wc FROM (
+    SELECT word, count(*) AS wc FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM {table}
+    ) WHERE word != '' GROUP BY word
+  )
+)"""
+    ]
+    for j in range(1, n_merges + 1):
+        prev = f"words{j - 1}"
+        parts.append(
+            f"""pc{j} AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM (
+    SELECT wc,
+           unnest(CASE WHEN len(syms) >= 2
+                  THEN list_transform(range(1, len(syms)),
+                       i -> {{'a': syms[i], 'b': syms[i + 1]}})
+                  ELSE [] END) AS p
+    FROM {prev}
+  ) GROUP BY p.a, p.b
+)"""
+        )
+        parts.append(
+            f"m{j} AS (SELECT a, b, cnt FROM pc{j} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""words{j} AS (
+  SELECT list_reduce(
+           list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
+                       THEN list_append(acc[1:len(acc) - 1], m.a || m.b)
+                       ELSE list_append(acc, x[1]) END) AS syms,
+         wc
+  FROM {prev} CROSS JOIN m{j} m
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT {j} AS step, a, b, cnt FROM m{j}" for j in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(step AS INT) AS step, a, b, cnt FROM ({union}) ORDER BY step"
+    )
