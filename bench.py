@@ -130,6 +130,11 @@ def main() -> None:
         "bpe_top_pairs",
         "dedup_survivors",
         "latest_event_per_user",
+        # round 7: trained IVF codebook, batched all-vectors ANN,
+        # multi-iteration BPE training loop
+        "ann_ivf_trained",
+        "ann_ivf_topk_all",
+        "bpe_merges",
     ]
     reg = registry()
     for name in bench_queries:

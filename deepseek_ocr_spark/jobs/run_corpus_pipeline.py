@@ -23,6 +23,8 @@ Writes under --output:
     pii/         per-doc PII-scrubbed text + typed redaction counts
     contamination/   per-doc benchmark 3-gram hit counts + flag
     packing/     per-doc (shard, bin_ix) sequence-packing assignment
+    span_digests/  duplicated-window digest table (written once; the
+                 detect/apply passes below and the streaming probe read it)
     spans/       duplicated-substring spans per doc (Lee et al. detect)
     spans_cut/   span-dedup APPLIED: rewritten text + n_removed
     lm_scores/   per-doc bigram-LM nll/ppl (CCNet-style filter signal)
@@ -113,13 +115,21 @@ def main(argv: list[str] | None = None) -> int:
         os.path.join(args.output, "packing")
     )
 
-    # r6 ops: substring dedup (detect + apply) and the bigram-LM filter
-    dedup.dedup_spans(docs).write.mode("overwrite").parquet(
+    # r6 ops: substring dedup (detect + apply) and the bigram-LM filter.
+    # r7: the duplicated-window digest table is WRITTEN ONCE and both the
+    # detect and apply passes (and the streaming probe, spans_stream.py)
+    # read it back — window digests are computed once per corpus instead
+    # of once per consumer (the 100 TB default).
+    dedup.dup_window_table(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "span_digests")
+    )
+    dup_table = spark.read.parquet(os.path.join(args.output, "span_digests"))
+    dedup.dedup_spans(docs, dup_table=dup_table).write.mode("overwrite").parquet(
         os.path.join(args.output, "spans")
     )
-    dedup.dedup_spans_cut(docs).write.mode("overwrite").parquet(
-        os.path.join(args.output, "spans_cut")
-    )
+    dedup.dedup_spans_cut(docs, dup_table=dup_table).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.output, "spans_cut"))
     corpus_stats.lm_bigram_score(docs).write.mode("overwrite").parquet(
         os.path.join(args.output, "lm_scores")
     )

@@ -856,7 +856,10 @@ def _span_digest_exprs(hcol, w: int):
 
 
 def dedup_spans(
-    docs: DataFrame, w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+    docs: DataFrame,
+    w: int = SPAN_W,
+    min_count: int = SPAN_MIN_COUNT,
+    dup_table: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows) — substring-level dedup
     (Lee et al. 2022, arXiv:2107.06499): every ``w``-token window whose
@@ -876,15 +879,34 @@ def dedup_spans(
     count-over-window, which would sort every occurrence of a viral
     digest inside one partition (the same failure mode
     dedup_lines_global's min-agg avoids), and AQE's skew-join splits an
-    oversized probe partition while a window sort cannot be split.  The
-    digests are computed twice (agg branch + probe branch) — map-side
-    recompute is the cheap side of that trade.  Then ONE doc_id exchange
-    for the gaps-and-islands merge.  NULL/short docs never emit
-    windows.  The DuckDB oracle keeps the count-over-window formulation —
-    two independent derivations of the same flagged set."""
+    oversized probe partition while a window sort cannot be split.  With
+    ``dup_table=None`` the digests are computed twice (agg branch + probe
+    branch) — map-side recompute is the cheap side of that trade at this
+    scale; pass a MATERIALIZED ``dup_table`` (dup_window_table written
+    once — the table the streaming probe already consumes) to make the
+    second branch a read instead, the 100 TB default (see
+    dedup_spans_indexed).  Then ONE doc_id exchange for the
+    gaps-and-islands merge.  NULL/short docs never emit windows.  The
+    DuckDB oracle keeps the count-over-window formulation — two
+    independent derivations of the same flagged set."""
     wins = span_windows(docs, w)
-    dup = wins.join(dup_window_table(docs, w, min_count), "g", "left_semi")
+    if dup_table is None:
+        dup_table = dup_window_table(docs, w, min_count)
+    dup = wins.join(dup_table, "g", "left_semi")
     return _flagged_windows_to_spans(dup, w)
+
+
+def dedup_spans_indexed(
+    docs: DataFrame, w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+) -> DataFrame:
+    """dedup_spans with dup_window_table MATERIALIZED first (eager
+    localCheckpoint — GC-reclaimable, same rationale as
+    ann_ivf_topk_indexed): the deployment shape where the digest table is
+    written once and both the batch spans pass and the streaming probe
+    read it, so window digests are computed once per corpus instead of
+    twice per query."""
+    dup_table = dup_window_table(docs, w, min_count).localCheckpoint()
+    return dedup_spans(docs, w, min_count, dup_table=dup_table)
 
 
 def span_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
@@ -987,7 +1009,10 @@ FROM isl GROUP BY doc_id, island
 
 
 def dedup_spans_cut(
-    docs: DataFrame, w: int = SPAN_W, min_count: int = SPAN_MIN_COUNT
+    docs: DataFrame,
+    w: int = SPAN_W,
+    min_count: int = SPAN_MIN_COUNT,
+    dup_table: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, text, n_removed) — APPLY substring dedup: tokens covered
     by any duplicated span (see dedup_spans) are cut and the survivors
@@ -1001,7 +1026,7 @@ def dedup_spans_cut(
     dedup_spans; the cut itself is a map-side indexed filter
     (O(tokens × spans_per_doc), spans_per_doc bounded by doc length/w)."""
     spans = (
-        dedup_spans(docs, w, min_count)
+        dedup_spans(docs, w, min_count, dup_table=dup_table)
         .groupBy("doc_id")
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("_sp")

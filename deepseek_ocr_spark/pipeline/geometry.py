@@ -32,6 +32,7 @@ emitted y coordinates are negated (equivalent to matplotlib's orientation).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,4 +145,28 @@ def geometry_figures(df: DataFrame, key_col: str = "url", text_col: str = "text"
         df.select(F.col(key_col).alias("url"), svg.alias("_svg"))
         .filter(F.col("_svg").isNotNull())
         .select("url", F.encode(F.col("_svg"), "UTF-8").alias("svg"))
+    )
+
+
+def geometry_figures_png(
+    df: DataFrame, key_col: str = "url", text_col: str = "text", size: int = 600
+) -> DataFrame:
+    """Raster tier (r7): geometry rows → (url, png binary) — the SVG scene
+    graph rendered through the in-house pixel kernels
+    (kernels/geomraster.py), closing the analog-vs-artifact gap with the
+    reference's matplotlib ``geo.jpg`` (run_dpsk_ocr_image.py:251-301;
+    PNG not JPEG — lossless keeps the sink byte-deterministic, the same
+    substitution contract as the SVG tier). Arrow-batched pandas UDF over
+    the already-gated geometry rows: scene strings are tiny, rendering is
+    pure numpy, identical bytes on every executor and task retry."""
+    from deepseek_ocr_spark.kernels.geomraster import rasterize_geometry_svg
+
+    @F.pandas_udf("binary")
+    def _to_png(svgs: pd.Series) -> pd.Series:
+        return svgs.map(
+            lambda b: rasterize_geometry_svg(bytes(b).decode("utf-8"), size)
+        )
+
+    return geometry_figures(df, key_col, text_col).select(
+        "url", _to_png(F.col("svg")).alias("png")
     )

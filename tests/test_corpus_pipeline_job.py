@@ -25,7 +25,7 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
 
     for sink in ("clean", "stats", "quality", "bands", "index/tfidf",
                  "index/postings", "pii", "contamination", "packing",
-                 "spans_cut", "lm_scores", "index/bpe_pairs"):
+                 "span_digests", "spans_cut", "lm_scores", "index/bpe_pairs"):
         df = spark.read.parquet(os.path.join(out, sink))
         assert df.count() > 0, sink
 
