@@ -13,11 +13,13 @@ honest documented SUBSET with zero native deps:
   `N 0 obj … endobj`; page content streams raw or /FlateDecode (zlib is
   stdlib); text operators Tj, ' (quote), TJ arrays; literal `(…)`-strings
   with \\-escapes and octal; hex `<…>`-strings (byte-per-2-hex); newline
-  on Td/TD/T*/'.
-  NOT supported (returns what it can, never raises): CID/Type0 multi-byte
-  encodings, encryption. A hostile or unsupported payload yields
-  fewer/empty pages, not an exception — the same quarantine rule as every
-  other source.
+  on Td/TD/T*/'; CID/Type0 multi-byte text via the embedded /ToUnicode
+  CMap (§9.10.3: codespacerange width, bfchar, bfrange incl. array form;
+  active font tracked through Tf, /Resources inline/indirect/inherited).
+  NOT supported (returns what it can, never raises): encryption; Type0
+  fonts WITHOUT a /ToUnicode CMap (their codes are font-internal).
+  A hostile or unsupported payload yields fewer/empty pages, not an
+  exception — the same quarantine rule as every other source.
 
 Determinism: pure byte scanning + zlib; identical output on every
 executor, so the extracted text column is safe to hash for dedup.
@@ -449,12 +451,37 @@ def _hex_string(s: bytes, i: int) -> tuple[bytes, int]:
         return b"", j + 1
 
 
-def _extract_stream_text(content: bytes) -> str:
-    """Walk text-showing operators in one content stream."""
+def _extract_stream_text(
+    content: bytes, fonts: dict[bytes, tuple[dict[int, str], int] | None] | None = None
+) -> str:
+    """Walk text-showing operators in one content stream.
+
+    ``fonts`` maps resource names (b"F1") to (ToUnicode cmap, code byte
+    width) for CID/Type0 fonts, or None for simple fonts; the walker
+    tracks the active font via Tf and decodes shown strings through the
+    active cmap (multi-byte CIDs → unicode) or latin-1 (simple fonts,
+    today's behavior)."""
     parts: list[str] = []
     pending: list[bytes] = []  # strings seen since the last operator
+    last_name: bytes = b""  # most recent /Name token (the Tf operand)
+    decoder: tuple[dict[int, str], int] | None = None
     i = 0
     n = len(content)
+
+    def flush() -> list[str]:
+        if decoder is None:
+            return [s.decode("latin-1") for s in pending]
+        cmap, width = decoder
+        out = []
+        for raw in pending:
+            chars = []
+            for k in range(0, len(raw) - width + 1, width):
+                u = cmap.get(int.from_bytes(raw[k : k + width], "big"))
+                if u:
+                    chars.append(u)
+            out.append("".join(chars))
+        return out
+
     while i < n:
         c = content[i : i + 1]
         if c == b"(":
@@ -467,6 +494,13 @@ def _extract_stream_text(content: bytes) -> str:
             except ValueError:
                 break
             pending.append(s)
+            continue
+        if c == b"/":
+            j = i + 1
+            while j < n and content[j : j + 1] not in b" \t\r\n/<>[]()%":
+                j += 1
+            last_name = content[i + 1 : j]
+            i = j
             continue
         if c.isalpha() or c in (b"'", b'"'):
             j = i
@@ -487,11 +521,13 @@ def _extract_stream_text(content: bytes) -> str:
                 pending.clear()
                 i = ei.end()
                 continue
-            if op in (b"Tj", b"TJ"):
-                parts.extend(s.decode("latin-1") for s in pending)
+            if op == b"Tf" and fonts is not None:
+                decoder = fonts.get(last_name)
+            elif op in (b"Tj", b"TJ"):
+                parts.extend(flush())
             elif op in (b"'", b'"'):
                 parts.append("\n")
-                parts.extend(s.decode("latin-1") for s in pending)
+                parts.extend(flush())
             elif op in (b"Td", b"TD", b"T*"):
                 if parts:
                     parts.append("\n")
@@ -505,6 +541,135 @@ def _extract_stream_text(content: bytes) -> str:
     return "".join(parts)
 
 
+# --- CID/Type0 fonts: /ToUnicode CMap decoding -------------------------------
+# A Type0 (composite) font shows multi-byte character CODES; the embedded
+# /ToUnicode CMap (ISO 32000 §9.10.3) maps code ranges to unicode. Parsing
+# it closes the CID gap: modern generators (word processors, browsers)
+# emit Identity-H Type0 fonts almost exclusively.
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEX1_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ROW_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[.*?\])", re.S
+)
+_FONT_DICT_RE = re.compile(rb"/Font\s*(<<|\d+\s+\d+\s+R)")
+_RESOURCES_RE = re.compile(rb"/Resources\s*(<<|\d+\s+\d+\s+R)")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_PARENT_RE = re.compile(rb"/Parent\s+(\d+)\s+\d+\s+R")
+_NAME_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_CMAP_CAP = 1 << 16  # bound hostile bfrange expansion
+
+
+def _u16(hexstr: bytes) -> str:
+    try:
+        return bytes.fromhex(hexstr.decode("ascii")).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+def _parse_tounicode(stream: bytes) -> tuple[dict[int, str], int]:
+    """CMap stream → (code→unicode map, code byte width). Width comes from
+    the codespacerange (default 2 — Identity-H); range expansion is capped
+    so a hostile <0000> <FFFFFFFF> range cannot blow memory."""
+    width = 2
+    cs = _CODESPACE_RE.search(stream)
+    if cs:
+        m = _HEXPAIR_RE.search(cs.group(1))
+        if m:
+            width = max(1, len(m.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(stream):
+        for src, dst in _HEXPAIR_RE.findall(m.group(1)):
+            if len(mapping) >= _CMAP_CAP:
+                return mapping, width
+            mapping[int(src, 16)] = _u16(dst)
+    for m in _BFRANGE_RE.finditer(stream):
+        for lo, hi, dst in _BFRANGE_ROW_RE.findall(m.group(1)):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            hi_i = min(hi_i, lo_i + _CMAP_CAP)  # bound expansion
+            if dst.startswith(b"["):
+                dsts = _HEX1_RE.findall(dst)
+                for k, d in enumerate(dsts[: hi_i - lo_i + 1]):
+                    if len(mapping) >= _CMAP_CAP:
+                        return mapping, width
+                    mapping[lo_i + k] = _u16(d)
+            else:
+                dhex = dst.strip(b"<>")
+                try:
+                    base = bytes.fromhex(dhex.decode("ascii"))
+                except ValueError:
+                    continue
+                for k in range(hi_i - lo_i + 1):
+                    if len(mapping) >= _CMAP_CAP:
+                        return mapping, width
+                    # increment applies to the code value (§9.10.3: last
+                    # byte(s) incremented; carry is fine for BMP text)
+                    val = int.from_bytes(base, "big") + k
+                    try:
+                        mapping[lo_i + k] = val.to_bytes(
+                            len(base), "big"
+                        ).decode("utf-16-be", "ignore")
+                    except OverflowError:
+                        break
+    return mapping, width
+
+
+def _inline_or_ref_dict(objs: dict[int, bytes], body: bytes, m) -> bytes | None:
+    """The dict following a key that may be inline (<<…>>) or an indirect
+    reference; returns the dict bytes or None."""
+    if m.group(1) == b"<<":
+        try:
+            end = _balanced_dict_end(body, m.start(1))
+        except ValueError:
+            return None
+        return body[m.start(1) : end]
+    ref = int(m.group(1).split()[0])
+    return objs.get(ref)
+
+
+def _page_fonts(
+    objs: dict[int, bytes], page_body: bytes
+) -> dict[bytes, tuple[dict[int, str], int] | None]:
+    """Resource name → ToUnicode decoder (or None for simple fonts) for a
+    page; /Resources may be inline, indirect, or inherited from the
+    /Parent chain (bounded walk)."""
+    body = page_body
+    fonts: dict[bytes, tuple[dict[int, str], int] | None] = {}
+    for _ in range(32):
+        rm = _RESOURCES_RE.search(body)
+        if rm:
+            res = _inline_or_ref_dict(objs, body, rm)
+            if res:
+                fm = _FONT_DICT_RE.search(res)
+                if fm:
+                    fdict = _inline_or_ref_dict(objs, res, fm)
+                    if fdict:
+                        for name, ref in _NAME_REF_RE.findall(fdict):
+                            font_obj = objs.get(int(ref))
+                            dec = None
+                            if font_obj is not None:
+                                tm = _TOUNICODE_RE.search(font_obj)
+                                if tm:
+                                    cm_stream = _stream_of(
+                                        objs.get(int(tm.group(1)), b"")
+                                    )
+                                    if cm_stream:
+                                        dec = _parse_tounicode(cm_stream)
+                            fonts[name] = dec
+            break
+        pm = _PARENT_RE.search(body)
+        if pm is None:
+            break
+        parent = objs.get(int(pm.group(1)))
+        if parent is None:
+            break
+        body = parent
+    return fonts
+
+
 def extract_pdf_text(data: bytes) -> list[str]:
     """PDF bytes → per-page extracted text (see module docstring for the
     supported subset). Unsupported/hostile input degrades to fewer or
@@ -514,11 +679,15 @@ def extract_pdf_text(data: bytes) -> list[str]:
         pages = []
         for num in _ordered_page_nums(objs):
             body = objs[num]
+            try:
+                fonts = _page_fonts(objs, body)
+            except Exception:
+                fonts = {}
             texts = []
             for ref in _content_refs(body):
                 stream = _stream_of(objs.get(ref, b""))
                 if stream:
-                    texts.append(_extract_stream_text(stream))
+                    texts.append(_extract_stream_text(stream, fonts))
             pages.append("".join(texts))
         return pages
     except Exception:
@@ -693,4 +862,89 @@ def make_modern_pdf(pages: list[str], compress: bool = True) -> bytes:
         + b"\nstream\n" + comp_xref + b"\nendstream\nendobj\n"
     )
     out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def make_cid_pdf(pages: list[str]) -> bytes:
+    """A classic-xref fixture whose text is shown through an Identity-H
+    Type0 font with 2-byte codes and a /ToUnicode CMap (codes assigned in
+    order of first appearance per page, split across bfchar AND bfrange
+    sections so both parse lanes are exercised)."""
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, text in enumerate(pages):
+        page_num = 3 + 3 * i
+        content_num = page_num + 1
+        font_num = page_num + 2
+        cmap_num = len(pages) * 3 + 3 + i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        # code assignment: distinct chars in appearance order, code = 1+idx
+        chars: list[str] = []
+        for ch in text.replace("\n", ""):
+            if ch not in chars:
+                chars.append(ch)
+        code_of = {ch: k + 1 for k, ch in enumerate(chars)}
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(text.split("\n")):
+            if k:
+                ops.append("0 -14 Td")
+            hexstr = "".join(f"{code_of[ch]:04X}" for ch in line)
+            ops.append(f"<{hexstr}> Tj")
+        ops.append("ET")
+        stream = " ".join(ops).encode("ascii")
+        objs.append(
+            f"<< /Length {len(stream)} >>".encode()
+            + b"\nstream\n" + stream + b"\nendstream"
+        )
+        objs.append(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>".encode()
+        )
+    # CMap objects appended after all pages so numbering stays stable
+    for i, text in enumerate(pages):
+        chars = []
+        for ch in text.replace("\n", ""):
+            if ch not in chars:
+                chars.append(ch)
+        half = len(chars) // 2
+        bfchar_rows = "\n".join(
+            f"<{k + 1:04X}> <{ord(ch):04X}>" for k, ch in enumerate(chars[:half])
+        )
+        bfrange_rows = "\n".join(
+            f"<{k + 1:04X}> <{k + 1:04X}> <{ord(ch):04X}>"
+            for k, ch in enumerate(chars)
+            if k >= half
+        )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{max(1, half)} beginbfchar\n{bfchar_rows}\nendbfchar\n"
+            f"{max(1, len(chars) - half)} beginbfrange\n{bfrange_rows}\nendbfrange\n"
+            "end"
+        ).encode("ascii")
+        objs.append(
+            f"<< /Length {len(cmap)} >>".encode()
+            + b"\nstream\n" + cmap + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
     return bytes(out)

@@ -475,3 +475,90 @@ def test_modern_pdf_spark_source_hit_rate(spark, tmp_path):
     assert out["scanned"]["route"] == "ocr"
     routes = [r["route"] for r in out.values()]
     assert routes.count("text") == 2  # hit-rate 2/3, up from 1/3 pre-1.5 support
+
+
+# --- CID/Type0 fonts: /ToUnicode CMap decoding -------------------------------
+
+
+def test_cid_pdf_writer_roundtrip():
+    from deepseek_ocr_spark.kernels.pdftext import make_cid_pdf
+
+    pages = ["Hello CID world\nsecond line", "unicode: é中文"]
+    assert extract_pdf_text(make_cid_pdf(pages)) == pages
+
+
+def test_hand_built_tounicode_fixture():
+    """Hand-assembled Type0 page (independent of make_cid_pdf): bfchar,
+    single-target bfrange (increment semantics), ARRAY-form bfrange, a
+    mid-stream font switch back to a simple font, and an unmapped code
+    that must drop silently."""
+    cmap = (
+        b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <0041>\n<0002> <0042>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"       # a b c
+        b"1 beginbfrange\n<0020> <0021> [<0058> <0059>]\nendbfrange\n"  # X Y
+    )
+    content = (
+        b"BT /F1 12 Tf <000100020010001100120FFF00200021> Tj "
+        b"/F2 10 Tf (plain) Tj ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+        b"7 0 obj\n<< /Type /Font /Subtype /TrueType >>\nendobj\n"
+        b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    )
+    # <0FFF> is unmapped -> dropped; F2 is simple -> latin-1 lane
+    assert extract_pdf_text(pdf) == ["ABabcXYplain"]
+
+
+def test_resources_inherited_from_pages_node():
+    """/Resources on the /Pages parent, not the page — the inheritance
+    walk must find the font."""
+    cmap = b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n1 beginbfchar\n<0001> <005A>\nendbfchar\n"
+    content = b"BT /F1 12 Tf <0001> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\nendobj\n"
+        b"6 0 obj\n<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+        + cmap + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == ["Z"]
+
+
+def test_cid_hostile_cmaps_never_raise():
+    """Hostile CMaps: unbounded bfrange (capped), garbage hex, truncated
+    stream — degrade, never raise; mutation fuzz over the CID fixture."""
+    import random
+
+    from deepseek_ocr_spark.kernels.pdftext import make_cid_pdf
+
+    pdf = make_cid_pdf(["fuzz target page"])
+    rng = random.Random(707)
+    for _ in range(120):
+        b = bytearray(pdf)
+        for _k in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        assert isinstance(extract_pdf_text(bytes(b)), list)
+    # a bfrange spanning the whole 32-bit space must not blow memory
+    evil_cmap = b"1 beginbfrange\n<0000> <FFFFFFFF> <0041>\nendbfrange\n"
+    from deepseek_ocr_spark.kernels.pdftext import _parse_tounicode
+
+    mapping, width = _parse_tounicode(evil_cmap)
+    assert len(mapping) <= (1 << 16) + 1
