@@ -131,10 +131,11 @@ def main() -> None:
         "dedup_survivors",
         "latest_event_per_user",
         # round 7: trained IVF codebook, batched all-vectors ANN,
-        # multi-iteration BPE training loop
+        # multi-iteration BPE training loop, full SemDeDup
         "ann_ivf_trained",
         "ann_ivf_topk_all",
         "bpe_merges",
+        "dedup_semantic",
     ]
     reg = registry()
     for name in bench_queries:

@@ -609,6 +609,12 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: similarity.ann_ivf_topk_all(_emb(s, d)),
         similarity.ann_ivf_topk_all_sql(),
     ),
+    # r7: the full SemDeDup operator — within-bucket cosine edges →
+    # connected components → lowest-id representative per cluster
+    "dedup_semantic": (
+        lambda s, d: similarity.dedup_semantic(_emb(s, d)),
+        similarity.dedup_semantic_sql(),
+    ),
     # text analysis
     "langid_heuristic": (
         lambda s, d: textops.langid_heuristic(_docs(s, d)),
@@ -816,9 +822,9 @@ _DRIVER_HEAD: list[str] = [
     "ann_ivf_trained",
     "ann_ivf_topk_all",
     "bpe_merges",
+    "dedup_semantic",
     # (d) fill to 50: r6-green queries from the modules r7 touched
     "similarity_ann_ivf",
-    "similarity_topk",
     "bpe_top_pairs",
     "dedup_survivors",
 ]

@@ -771,20 +771,29 @@ def ann_ivf_topk_all(
     )
     if assignments is None:
         assignments = ivf_assignments(emb, n_centroids, dim)
+    # norms HOISTED onto each join input: projections materialize at the
+    # centroid_id exchange, so each vector's norm is computed once per ROW
+    # (n per side) instead of once per PAIR (sum |bucket|² — measured 12.5 s
+    # vs 4.7 s at sf0.1 with the norms inside the pair expression; the
+    # interpreted fold lambdas are the cost, the same class as the r6
+    # element_at-hoisting rule)
     left = probes.join(emb, "vec_id").select(
-        F.col("vec_id"), F.col("centroid_id"), F.col("embedding").alias("qe")
+        F.col("vec_id"),
+        F.col("centroid_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     right = assignments.join(emb, "vec_id").select(
         F.col("vec_id").alias("cand_id"),
         F.col("centroid_id"),
         F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
     )
     pairs = left.join(right, "centroid_id").filter(
         F.col("vec_id") != F.col("cand_id")
     )
     cos = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))),
-        4,
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
     )
     scored_pairs = pairs.select("vec_id", "cand_id", cos.alias("cos"))
     if k == 1:
@@ -860,4 +869,143 @@ SELECT vec_id, cand_id AS nn_vec_id, cos FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand_id) AS rn
   FROM pairs
 ) WHERE rn <= {k}
+"""
+
+
+# --- SemDeDup: semantic dedup over embedding clusters ------------------------
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = N_CENTROIDS,
+    dim: int = 64,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """(a_vec_id, b_vec_id, cos) — within-bucket pairs with rounded cosine
+    ≥ threshold: the SemDeDup edge list (Abbas et al. 2023 — duplicates
+    are detected INSIDE k-means clusters, never across the full corpus).
+    One centroid_id-keyed self-join of the materialized index; cost is
+    sum of |bucket|² — the same bounded-bucket contract as
+    dedup_minhash_pairs, with AQE skew-split on an oversized bucket."""
+    if assignments is None:
+        assignments = ivf_assignments(emb, n_centroids, dim)
+    # norms hoisted below the exchange — once per row, not per pair (the
+    # ann_ivf_topk_all measurement)
+    left = assignments.join(emb, "vec_id").select(
+        "vec_id",
+        "centroid_id",
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    right = left.select(
+        F.col("vec_id").alias("cand_id"),
+        "centroid_id",
+        F.col("qe").alias("ce"),
+        F.col("qn").alias("cn"),
+    )
+    cos = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+    )
+    return (
+        left.join(right, "centroid_id")
+        .filter(F.col("vec_id") < F.col("cand_id"))
+        .select(
+            F.col("vec_id").alias("a_vec_id"),
+            F.col("cand_id").alias("b_vec_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def dedup_semantic(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = N_CENTROIDS,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, rep_vec_id, is_dup) — the full SemDeDup operator: pairs
+    above the cosine threshold inside each centroid bucket form a graph,
+    connected components collapse transitive duplicates, and each vector
+    reports its component representative (lowest vec_id — deterministic;
+    identical vectors always share a bucket since the assignment argmax
+    is a pure function of the embedding).
+
+    Composition of proven pieces: the materialized IVF index (one
+    localCheckpoint'ed build), semantic_pairs (one bucket-keyed
+    self-join), and dedup.components_from_edges (O(rounds) min-label
+    propagation with per-round checkpointing — the viral-cluster-safe
+    path). The DuckDB oracle closes the same graph with a recursive
+    CTE — an independent derivation."""
+    from .dedup import components_from_edges
+
+    assignments = ivf_assignments(emb, n_centroids, dim).localCheckpoint()
+    edges = semantic_pairs(emb, threshold, n_centroids, dim, assignments).select(
+        F.col("a_vec_id").alias("src"), F.col("b_vec_id").alias("dst")
+    )
+    comps = components_from_edges(
+        emb.select(F.col("vec_id").alias("doc_id")), edges
+    )
+    return comps.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("component_id").alias("rep_vec_id"),
+        (F.col("doc_id") != F.col("component_id")).alias("is_dup"),
+    )
+
+
+def dedup_semantic_sql(
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = N_CENTROIDS,
+    dim: int = 64,
+) -> str:
+    ccos = (
+        "round(list_sum([CAST(e.embedding[i] AS DOUBLE) * c.cvec[i] "
+        "FOR i IN range(1, len(e.embedding) + 1)]) "
+        "/ (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN e.embedding])) "
+        "* sqrt(list_sum([x * x FOR x IN c.cvec]))), 6)"
+    )
+    pcos = (
+        "round(list_sum([CAST(l.qe[i] AS DOUBLE) * CAST(r.ce[i] AS DOUBLE) "
+        "FOR i IN range(1, len(l.qe) + 1)]) "
+        "/ (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN l.qe])) "
+        "* sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN r.ce]))), 4)"
+    )
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT e.vec_id, c.centroid_id, {ccos} AS ccos
+  FROM embeddings e CROSS JOIN {_centroids_values_sql(n_centroids, dim)}
+),
+assignments AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT l.vec_id AS a_vec_id, r.cand_id AS b_vec_id, {pcos} AS cos
+  FROM (SELECT a.vec_id, a.centroid_id, e.embedding AS qe
+        FROM assignments a JOIN embeddings e USING (vec_id)) l
+  JOIN (SELECT a.vec_id AS cand_id, a.centroid_id, e.embedding AS ce
+        FROM assignments a JOIN embeddings e USING (vec_id)) r
+    ON l.centroid_id = r.centroid_id AND l.vec_id < r.cand_id
+),
+edges AS (SELECT a_vec_id, b_vec_id FROM pairs WHERE cos >= {threshold}),
+sym AS (
+  SELECT a_vec_id AS src, b_vec_id AS dst FROM edges
+  UNION SELECT b_vec_id, a_vec_id FROM edges
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT e.vec_id,
+       least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS rep_vec_id,
+       least(e.vec_id, coalesce(min(r.dst), e.vec_id)) != e.vec_id AS is_dup
+FROM embeddings e LEFT JOIN reach r ON e.vec_id = r.src
+GROUP BY e.vec_id
 """

@@ -155,3 +155,36 @@ def test_ann_ivf_topk_all_no_cartesian(spark):
     plan = S.ann_ivf_topk_all(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_semantic_planted_clusters(spark):
+    """Identical vectors always share a bucket (assignment is a pure
+    function of the embedding), so planted duplicate groups collapse to
+    their lowest-id representative; transitive chains merge."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # dup of 0
+        (5, [1.0, 0.0, 0.0, 0.0]),   # dup of 0 (transitive via 1)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.99, 0.1, 0.0]),  # near-dup of 2 (cos ~0.995)
+        (4, [0.0, 0.0, 0.0, 1.0]),   # unique
+    ]
+    emb = _emb_df(spark, rows)
+    out = {
+        r["vec_id"]: (r["rep_vec_id"], r["is_dup"])
+        for r in S.dedup_semantic(emb, threshold=0.9, n_centroids=3, dim=4).collect()
+    }
+    assert out[0] == (0, False)
+    assert out[1] == (0, True)
+    assert out[5] == (0, True)
+    assert out[2] == (2, False)
+    assert out[3] == (2, True)
+    assert out[4] == (4, False)
+
+
+def test_dedup_semantic_threshold_gates_edges(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.4359]), (2, [0.0, 1.0])]
+    emb = _emb_df(spark, rows)
+    # cos(0,1) ~ 0.9 — below a 0.99 threshold nothing merges
+    strict = S.dedup_semantic(emb, threshold=0.99, n_centroids=2, dim=2)
+    assert all(not r["is_dup"] for r in strict.collect())
