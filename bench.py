@@ -136,6 +136,7 @@ def main() -> None:
         "ann_ivf_topk_all",
         "bpe_merges",
         "dedup_semantic",
+        "lm_ppl_buckets",
     ]
     reg = registry()
     for name in bench_queries:

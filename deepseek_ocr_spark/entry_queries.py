@@ -687,6 +687,12 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: corpus_stats.bpe_merges(_docs(s, d)),
         corpus_stats.bpe_merges_sql(),
     ),
+    # r7: CCNet head/middle/tail split — per-lang perplexity tertiles
+    # (exact rank-against-count thresholds, broadcast back)
+    "lm_ppl_buckets": (
+        lambda s, d: corpus_stats.lm_ppl_buckets(_docs(s, d)),
+        corpus_stats.lm_ppl_buckets_sql(),
+    ),
     # driver contract: postings serialized to a comma-joined string (the
     # driver's pandas canonicalizer cannot hash list cells — r4 red row);
     # max_postings=50 exercises the stopword truncation live (df > 50
@@ -823,9 +829,9 @@ _DRIVER_HEAD: list[str] = [
     "ann_ivf_topk_all",
     "bpe_merges",
     "dedup_semantic",
+    "lm_ppl_buckets",
     # (d) fill to 50: r6-green queries from the modules r7 touched
     "similarity_ann_ivf",
-    "bpe_top_pairs",
     "dedup_survivors",
 ]
 

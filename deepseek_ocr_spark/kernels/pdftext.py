@@ -15,8 +15,12 @@ honest documented SUBSET with zero native deps:
   with \\-escapes and octal; hex `<…>`-strings (byte-per-2-hex); newline
   on Td/TD/T*/'; CID/Type0 multi-byte text via the embedded /ToUnicode
   CMap (§9.10.3: codespacerange width, bfchar, bfrange incl. array form;
-  active font tracked through Tf, /Resources inline/indirect/inherited).
-  NOT supported (returns what it can, never raises): encryption; Type0
+  active font tracked through Tf, /Resources inline/indirect/inherited);
+  RC4-encrypted PDFs (standard security handler §7.6.3, V1/V2 R2/R3)
+  with an EMPTY user password — the owner-restrictions-only shape
+  readers open transparently.
+  NOT supported (returns what it can, never raises): AES encryption
+  (V4+), non-empty user passwords, encrypted object streams; Type0
   fonts WITHOUT a /ToUnicode CMap (their codes are font-internal).
   A hostile or unsupported payload yields fewer/empty pages, not an
   exception — the same quarantine rule as every other source.
@@ -360,11 +364,13 @@ def _resolve_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
-def _stream_of(body: bytes) -> bytes | None:
+def _stream_of(body: bytes, decrypt=None) -> bytes | None:
     """Stream body, bounded by the dict's direct /Length when present and
     consistent (compressed bytes may legitimately contain "\\nendstream",
     which would truncate the non-greedy regex scan); falls back to the
-    regex for missing/indirect/implausible lengths — degrade, don't raise."""
+    regex for missing/indirect/implausible lengths — degrade, don't raise.
+    ``decrypt`` (raw→plain, already bound to the object number) runs BEFORE
+    any filter — PDF encryption applies to the stored stream bytes."""
     sm = _STREAM_START_RE.search(body)
     if sm is None:
         return None
@@ -382,6 +388,11 @@ def _stream_of(body: bytes) -> bytes | None:
         if m is None:
             return None
         raw = m.group(1)
+    if decrypt is not None:
+        try:
+            raw = decrypt(raw)
+        except Exception:
+            return None
     if b"/FlateDecode" in body[: sm.start()]:
         try:
             return zlib.decompress(raw)
@@ -631,7 +642,7 @@ def _inline_or_ref_dict(objs: dict[int, bytes], body: bytes, m) -> bytes | None:
 
 
 def _page_fonts(
-    objs: dict[int, bytes], page_body: bytes
+    objs: dict[int, bytes], page_body: bytes, dec=None
 ) -> dict[bytes, tuple[dict[int, str], int] | None]:
     """Resource name → ToUnicode decoder (or None for simple fonts) for a
     page; /Resources may be inline, indirect, or inherited from the
@@ -649,16 +660,22 @@ def _page_fonts(
                     if fdict:
                         for name, ref in _NAME_REF_RE.findall(fdict):
                             font_obj = objs.get(int(ref))
-                            dec = None
+                            decoder = None
                             if font_obj is not None:
                                 tm = _TOUNICODE_RE.search(font_obj)
                                 if tm:
+                                    cm_num = int(tm.group(1))
                                     cm_stream = _stream_of(
-                                        objs.get(int(tm.group(1)), b"")
+                                        objs.get(cm_num, b""),
+                                        decrypt=(
+                                            (lambda raw, n=cm_num: dec(n, raw))
+                                            if dec is not None
+                                            else None
+                                        ),
                                     )
                                     if cm_stream:
-                                        dec = _parse_tounicode(cm_stream)
-                            fonts[name] = dec
+                                        decoder = _parse_tounicode(cm_stream)
+                            fonts[name] = decoder
             break
         pm = _PARENT_RE.search(body)
         if pm is None:
@@ -676,16 +693,23 @@ def extract_pdf_text(data: bytes) -> list[str]:
     empty pages; never raises."""
     try:
         objs = _resolve_objects(data)
+        dec = _build_decryptor(data, objs)  # ValueError (unsupported
+        # encryption / wrong password) falls to the outer except → []
         pages = []
         for num in _ordered_page_nums(objs):
             body = objs[num]
             try:
-                fonts = _page_fonts(objs, body)
+                fonts = _page_fonts(objs, body, dec)
             except Exception:
                 fonts = {}
             texts = []
             for ref in _content_refs(body):
-                stream = _stream_of(objs.get(ref, b""))
+                stream = _stream_of(
+                    objs.get(ref, b""),
+                    decrypt=(
+                        (lambda raw, n=ref: dec(n, raw)) if dec is not None else None
+                    ),
+                )
                 if stream:
                     texts.append(_extract_stream_text(stream, fonts))
             pages.append("".join(texts))
@@ -945,6 +969,244 @@ def make_cid_pdf(pages: list[str]) -> bytes:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# --- encrypted PDFs: standard security handler, RC4 (V1/V2, R2/R3) ----------
+# ISO 32000-1 §7.6.3: the common "owner password only" case — the USER
+# password is empty, so readers open the file transparently while edit
+# permissions are restricted. Covers classic-xref encrypted PDFs; AES (V4+)
+# and encrypted object streams stay out of scope (documented), degrading
+# to empty pages like every other unsupported flavor.
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>\s*<([0-9A-Fa-f]*)>")
+_FILTER_STD_RE = re.compile(rb"/Filter\s*/Standard\b")
+_V_RE = re.compile(rb"/V\s+(\d+)")
+_R_RE = re.compile(rb"/R\s+(\d+)")
+_P_RE = re.compile(rb"/P\s+(-?\d+)")
+_KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
+_O_HEX_RE = re.compile(rb"/O\s*<([0-9A-Fa-f]+)>")
+_U_HEX_RE = re.compile(rb"/U\s*<([0-9A-Fa-f]+)>")
+_O_LIT_RE = re.compile(rb"/O\s*\(")
+_U_LIT_RE = re.compile(rb"/U\s*\(")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = ch ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pw_bytes(body: bytes, hex_re, lit_re) -> bytes | None:
+    """/O and /U values: hex string or literal string form."""
+    m = hex_re.search(body)
+    if m:
+        try:
+            return bytes.fromhex(m.group(1).decode("ascii"))
+        except ValueError:
+            return None
+    m = lit_re.search(body)
+    if m:
+        s, _ = _literal_string(body, m.end() - 1)
+        return s
+    return None
+
+
+def _std_security_key(
+    enc: bytes, id0: bytes, password: bytes = b""
+) -> tuple[bytes, int] | None:
+    """Algorithm 2: the file encryption key for the standard handler (and
+    the revision), or None when the dict is not a supported RC4 flavor."""
+    import hashlib
+
+    if not _FILTER_STD_RE.search(enc):
+        return None
+    vm, rm, pm = _V_RE.search(enc), _R_RE.search(enc), _P_RE.search(enc)
+    o = _pw_bytes(enc, _O_HEX_RE, _O_LIT_RE)
+    if vm is None or rm is None or pm is None or o is None:
+        return None
+    v, r, p = int(vm.group(1)), int(rm.group(1)), int(pm.group(1))
+    if v not in (1, 2) or r not in (2, 3):
+        return None  # AES / newer revisions out of scope
+    n = 5
+    if v == 2:
+        lm = _KEYLEN_RE.search(enc)
+        if lm:
+            n = max(5, min(16, int(lm.group(1)) // 8))
+    padded = (password + _PAD)[:32]
+    h = hashlib.md5(
+        padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    )
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n], r
+
+
+def _verify_empty_user_pw(enc: bytes, id0: bytes, key: bytes, r: int) -> bool:
+    """Algorithm 6 check for the EMPTY user password (the transparent-open
+    case this reader supports)."""
+    import hashlib
+
+    u = _pw_bytes(enc, _U_HEX_RE, _U_LIT_RE)
+    if u is None:
+        return False
+    if r == 2:
+        return _rc4(key, _PAD) == u[:32]
+    x = _rc4(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == u[:16]
+
+
+def _build_decryptor(data: bytes, objs: dict[int, bytes]):
+    """None for unencrypted input; a (objnum, raw)->plain callable when the
+    trailer references a supported RC4 standard-handler dict and the empty
+    user password verifies; raises ValueError (caught by extract_pdf_text)
+    for encrypted-but-unsupported so the document degrades to empty."""
+    import hashlib
+
+    em = None
+    for em in _ENCRYPT_REF_RE.finditer(data):
+        pass  # last occurrence wins (incremental updates)
+    if em is None:
+        return None
+    enc = objs.get(int(em.group(1)))
+    idm = _ID_RE.search(data)
+    if enc is None:
+        raise ValueError("encrypted PDF: missing Encrypt dict")
+    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    got = _std_security_key(enc, id0)
+    if got is None:
+        raise ValueError("encrypted PDF: unsupported security handler")
+    key, r = got
+    if not _verify_empty_user_pw(enc, id0, key, r):
+        raise ValueError("encrypted PDF: non-empty user password")
+
+    def decrypt(objnum: int, raw: bytes, gen: int = 0) -> bytes:
+        ok = hashlib.md5(
+            key + objnum.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(len(key) + 5, 16)]
+        return _rc4(ok, raw)
+
+    return decrypt
+
+
+def make_encrypted_pdf(
+    pages: list[str], r: int = 3, owner_password: bytes = b"owner"
+) -> bytes:
+    """A classic-xref fixture encrypted with the standard security handler
+    (RC4; R2 → V1/40-bit, R3 → V2/128-bit), empty USER password — the
+    owner-restrictions-only shape readers open transparently. Content
+    streams are RC4-encrypted with the per-object key (Algorithm 1);
+    /O and /U follow Algorithms 3/4/5."""
+    import hashlib
+
+    v = 1 if r == 2 else 2
+    n = 5 if r == 2 else 16
+    p = -44  # typical restrictive permissions
+    id0 = hashlib.md5(b"fixture-id" + str(len(pages)).encode()).digest()
+
+    # Algorithm 3: /O from the owner password
+    okey = hashlib.md5((owner_password + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:n]
+    o = _rc4(okey, _PAD)  # empty user password → padded user pw == _PAD
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+
+    # Algorithm 2: the file key (empty user password)
+    key = hashlib.md5(
+        _PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+
+    # Algorithms 4/5: /U
+    if r == 2:
+        u = _rc4(key, _PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16  # 16 arbitrary padding bytes per spec
+
+    def objkey(num: int, gen: int = 0) -> bytes:
+        return hashlib.md5(
+            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, text in enumerate(pages):
+        content_num = 4 + 2 * i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(text.split("\n")):
+            if k:
+                ops.append("0 -14 Td")
+            ops.append(f"({esc(line)}) Tj")
+        ops.append("ET")
+        cipher = _rc4(objkey(content_num), " ".join(ops).encode("latin-1"))
+        objs.append(
+            f"<< /Length {len(cipher)} >>".encode()
+            + b"\nstream\n" + cipher + b"\nendstream"
+        )
+    enc_num = len(objs) + 1
+    objs.append(
+        f"<< /Filter /Standard /V {v} /R {r} /Length {n * 8} "
+        f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>".encode()
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
+        f"/Encrypt {enc_num} 0 R /ID [<{id0.hex().upper()}> "
+        f"<{id0.hex().upper()}>] >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -731,3 +731,75 @@ def bpe_merges_sql(table: str = "documents", n_merges: int = BPE_MERGE_STEPS) ->
         "WITH " + ",\n".join(parts)
         + f"\nSELECT CAST(step AS INT) AS step, a, b, cnt FROM ({union}) ORDER BY step"
     )
+
+
+# --- CCNet head/middle/tail bucketing over the LM scores ---------------------
+
+
+def lm_ppl_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, ppl, bucket) — CCNet's quality split (Wenzek et al.
+    2020 §4.3): per LANGUAGE, documents sort by LM perplexity and the
+    tertiles become head / middle / tail (head = lowest-ppl third, the
+    slice usually kept for pretraining).
+
+    Thresholds are the EXACT rank-against-count formulation shared with
+    textops.quantiles_by_lang (rank ceil(n/3) and ceil(2n/3) in integer
+    arithmetic, ties broken by doc_id — both engines pick the identical
+    row); the per-lang threshold table is tiny and broadcast back onto
+    the scores. Same scale note as quantiles_by_lang: at 10^12 rows the
+    thresholds come from approx_percentile (sketch) — this exact variant
+    is its verifier and the oracle gate. Docs with < 2 tokens have no LM
+    score and are excluded (lm_bigram_score contract)."""
+    from pyspark.sql import Window
+
+    scores = lm_bigram_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    ranked = scores.select(
+        "lang",
+        "ppl",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n"),
+    )
+
+    def pick(q_num: int, q_den: int, name: str):
+        rank = F.floor((F.lit(q_num) * F.col("_n") + q_den - 1) / q_den)
+        return F.max(F.when(F.col("_rn") == rank, F.col("ppl"))).alias(name)
+
+    cuts = ranked.groupBy("lang").agg(pick(1, 3, "t33"), pick(2, 3, "t67"))
+    bucket = (
+        F.when(F.col("ppl") <= F.col("t33"), "head")
+        .when(F.col("ppl") <= F.col("t67"), "middle")
+        .otherwise("tail")
+    )
+    return scores.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "ppl", bucket.alias("bucket")
+    )
+
+
+def lm_ppl_buckets_sql(table: str = "documents") -> str:
+    return f"""
+WITH scores AS (
+  SELECT s.doc_id, d.lang, s.ppl
+  FROM ({lm_bigram_score_sql(table)}) s
+  JOIN {table} d USING (doc_id)
+),
+ranked AS (
+  SELECT lang, ppl,
+         row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS _rn,
+         count(*) OVER (PARTITION BY lang) AS _n
+  FROM scores
+),
+cuts AS (
+  SELECT lang,
+         max(CASE WHEN _rn = (1 * _n + 2) // 3 THEN ppl END) AS t33,
+         max(CASE WHEN _rn = (2 * _n + 2) // 3 THEN ppl END) AS t67
+  FROM ranked GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.ppl,
+       CASE WHEN s.ppl <= c.t33 THEN 'head'
+            WHEN s.ppl <= c.t67 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores s JOIN cuts c USING (lang)
+"""

@@ -67,3 +67,37 @@ def test_no_python_in_plan(spark):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_lm_ppl_buckets_tertiles(spark):
+    """Per-lang tertiles: heads have the lowest ppl, tails the highest;
+    sizes split ceil(n/3)/third/rest; short docs (no LM score) excluded."""
+    from deepseek_ocr_spark.operators.corpus_stats import lm_ppl_buckets
+
+    rows = [
+        # lang 'en': 6 scoreable docs + 1 too-short
+        (0, "a a a a", "en"), (1, "a b a b", "en"), (2, "c d e f", "en"),
+        (3, "a a b b", "en"), (4, "x y z w", "en"), (5, "a b c d", "en"),
+        (6, "solo", "en"),
+        # lang 'fr': 2 docs
+        (7, "m m m", "fr"), (8, "m n o", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING, lang STRING")
+    out = {r["doc_id"]: r for r in lm_ppl_buckets(docs).collect()}
+    assert 6 not in out  # single-token doc has no bigrams
+    en = [r for r in out.values() if r["lang"] == "en"]
+    assert len(en) == 6
+    # expected buckets from the scores themselves: thresholds are the ppl
+    # at ranks ceil(n/3) and ceil(2n/3); assignment is THRESHOLD-based
+    # (CCNet), so docs tied at a cut share its bucket
+    ppls = sorted(r["ppl"] for r in en)
+    t33, t67 = ppls[(len(ppls) + 2) // 3 - 1], ppls[(2 * len(ppls) + 2) // 3 - 1]
+    for r in en:
+        expect = "head" if r["ppl"] <= t33 else ("middle" if r["ppl"] <= t67 else "tail")
+        assert r["bucket"] == expect, (r, t33, t67)
+    by_bucket = {}
+    for r in en:
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl"])
+    assert max(by_bucket["head"]) <= min(by_bucket.get("middle", by_bucket["head"]))
+    fr = [r for r in out.values() if r["lang"] == "fr"]
+    assert sorted(r["bucket"] for r in fr) == ["head", "middle"]

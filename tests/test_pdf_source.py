@@ -562,3 +562,53 @@ def test_cid_hostile_cmaps_never_raise():
 
     mapping, width = _parse_tounicode(evil_cmap)
     assert len(mapping) <= (1 << 16) + 1
+
+
+# --- RC4-encrypted PDFs (standard security handler, empty user password) -----
+
+
+@pytest.mark.parametrize("r", [2, 3])
+def test_encrypted_pdf_roundtrip(r):
+    from deepseek_ocr_spark.kernels.pdftext import make_encrypted_pdf
+
+    pages = ["secret page one\nline two", "page deux"]
+    pdf = make_encrypted_pdf(pages, r=r)
+    assert b"secret page one" not in pdf  # content actually ciphered
+    assert extract_pdf_text(pdf) == pages
+
+
+def test_rc4_public_vectors():
+    """_rc4 pinned against the classic public test vectors — an
+    implementation-independent spec for the cipher both the writer and
+    the reader share."""
+    from deepseek_ocr_spark.kernels.pdftext import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert _rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+    assert _rc4(b"Secret", b"Attack at dawn").hex().upper() == (
+        "45A01F645FC35B383552544B9BF5"
+    )
+
+
+def test_encrypted_pdf_unsupported_flavors_degrade():
+    import re as _re
+
+    from deepseek_ocr_spark.kernels.pdftext import make_encrypted_pdf
+
+    pdf = make_encrypted_pdf(["x"], r=3)
+    # corrupt /U -> empty-user-password check fails -> []
+    m = _re.search(rb"/U <([0-9A-F]+)>", pdf)
+    assert extract_pdf_text(pdf[: m.start(1)] + b"00" * 32 + pdf[m.end(1) :]) == []
+    # AES-ish revision -> unsupported -> []
+    assert extract_pdf_text(pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")) == []
+    # non-standard handler -> unsupported -> []
+    assert extract_pdf_text(pdf.replace(b"/Filter /Standard", b"/Filter /Custom")) == []
+    # mutation fuzz: never raises
+    import random
+
+    rng = random.Random(41)
+    for _ in range(100):
+        b = bytearray(pdf)
+        for _k in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        assert isinstance(extract_pdf_text(bytes(b)), list)
