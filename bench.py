@@ -137,6 +137,7 @@ def main() -> None:
         "bpe_merges",
         "dedup_semantic",
         "lm_ppl_buckets",
+        "mixture_weights",
     ]
     reg = registry()
     for name in bench_queries:

@@ -381,6 +381,12 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: textops.stratified_sample(_docs(s, d)),
         textops.stratified_sample_sql(),
     ),
+    # r7: temperature-scaled source mixing (mT5 exponential smoothing) —
+    # micro-unit-quantized n^alpha so the normalizing sum is exact
+    "mixture_weights": (
+        lambda s, d: textops.mixture_weights(_docs(s, d)),
+        textops.mixture_weights_sql(),
+    ),
     "span_extract": (
         lambda s, d: textops.span_extract(_docs(s, d)),
         textops.SPAN_EXTRACT_SQL,
@@ -830,9 +836,9 @@ _DRIVER_HEAD: list[str] = [
     "bpe_merges",
     "dedup_semantic",
     "lm_ppl_buckets",
-    # (d) fill to 50: r6-green queries from the modules r7 touched
+    "mixture_weights",
+    # (d) fill to 50: r6-green re-proof from the similarity signature change
     "similarity_ann_ivf",
-    "dedup_survivors",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

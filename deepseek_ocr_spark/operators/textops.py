@@ -1130,3 +1130,67 @@ SELECT lang,
        max(CASE WHEN _rn = (99 * _n + 99) // 100 THEN n_chars END) AS p99_chars
 FROM ranked GROUP BY lang
 """
+
+
+# --- data-mixing weights: temperature-scaled source sampling -----------------
+
+
+def mixture_weights(docs: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """(source, n_docs, share, weight, upsample) — temperature-scaled
+    mixture weights over sources: w_i = n_i^alpha / Σ n_j^alpha (the
+    mT5/multilingual-C4 exponential-smoothing rule, Xue et al. 2021 —
+    alpha < 1 upweights rare sources); ``upsample`` = w_i / share_i is
+    the relative oversampling a loader applies per source.
+
+    Exact-arithmetic discipline: each source's n^alpha is quantized ONCE
+    to integer micro-units and summed as BIGINT, so the normalizing sum
+    is order-insensitive; the final floats are single rounded
+    expressions. One groupBy(source) agg (map-side combinable) + a
+    1-row broadcast of the totals — the source table is tiny at any
+    corpus scale."""
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    q = F.round(
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+        * F.lit(1000000.0),
+        0,
+    ).cast("bigint")
+    scored = counts.select("source", "n_docs", q.alias("_q"))
+    totals = F.broadcast(
+        scored.agg(
+            F.sum("_q").cast("bigint").alias("_tq"),
+            F.sum("n_docs").cast("bigint").alias("_tn"),
+        )
+    )
+    share = F.col("n_docs").cast("double") / F.col("_tn")
+    weight = F.col("_q").cast("double") / F.col("_tq")
+    return scored.crossJoin(totals).select(
+        "source",
+        "n_docs",
+        F.round(share, 4).alias("share"),
+        F.round(weight, 4).alias("weight"),
+        F.round(weight / share, 4).alias("upsample"),
+    )
+
+
+def mixture_weights_sql(table: str = "documents", alpha: float = 0.3) -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM {table} GROUP BY source
+),
+scored AS (
+  SELECT source, n_docs,
+         CAST(round(power(CAST(n_docs AS DOUBLE), {alpha}) * 1000000.0)
+              AS BIGINT) AS _q
+  FROM counts
+),
+totals AS (
+  SELECT CAST(sum(_q) AS BIGINT) AS _tq, CAST(sum(n_docs) AS BIGINT) AS _tn
+  FROM scored
+)
+SELECT source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / _tn, 4) AS share,
+       round(CAST(_q AS DOUBLE) / _tq, 4) AS weight,
+       round((CAST(_q AS DOUBLE) / _tq) / (CAST(n_docs AS DOUBLE) / _tn), 4)
+         AS upsample
+FROM scored CROSS JOIN totals
+"""

@@ -404,3 +404,50 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) <= 256
+
+
+def test_streaming_semantic_matches_batch(spark, tmp_path):
+    """Stream semantic-dedup probe vs the materialized corpus index: a new
+    vector duplicating a corpus vector (same bucket by construction) is
+    dropped; dissimilar vectors survive; stream result equals the batch
+    semantic_filter_batch on the same split."""
+    import os
+
+    from deepseek_ocr_spark.streaming.semantic_stream import (
+        corpus_semantic_index,
+        semantic_filter_batch,
+        stream_semantic_to_parquet,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    # increment: held-out vectors (some are semantic dups of base at the
+    # default threshold, some are not) plus EXACT copies of base vectors
+    copies = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    inc = emb.filter(F.col("vec_id") % 5 == 0).unionByName(copies)
+
+    in_dir, out_dir, ck, idx = (
+        str(tmp_path / d) for d in ("in", "out", "ck", "idx")
+    )
+    corpus_semantic_index(base).write.parquet(idx)
+    os.makedirs(in_dir)
+    inc.filter(F.col("vec_id") < 100000).coalesce(1).write.parquet(f"{in_dir}/b=0")
+    inc.filter(F.col("vec_id") >= 100000).coalesce(1).write.parquet(f"{in_dir}/b=1")
+
+    q = stream_semantic_to_parquet(spark, in_dir + "/*", idx, out_dir, ck)
+    q.awaitTermination(300)
+
+    got = {r["vec_id"] for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        r["vec_id"]
+        for r in semantic_filter_batch(
+            inc, spark.read.parquet(idx)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # every exact copy of a corpus vector is dropped (cos = 1.0)
+    assert not any(v >= 100000 for v in got)
