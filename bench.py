@@ -138,6 +138,7 @@ def main() -> None:
         "dedup_semantic",
         "lm_ppl_buckets",
         "mixture_weights",
+        "bpe_encode_stats",
     ]
     reg = registry()
     for name in bench_queries:

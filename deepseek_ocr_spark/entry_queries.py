@@ -693,6 +693,12 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: corpus_stats.bpe_merges(_docs(s, d)),
         corpus_stats.bpe_merges_sql(),
     ),
+    # r7: APPLY the learned merges back to the corpus — symbol counts per
+    # distinct word, one token join + one doc agg (train->apply->measure)
+    "bpe_encode_stats": (
+        lambda s, d: corpus_stats.bpe_encode_stats(_docs(s, d)),
+        corpus_stats.bpe_encode_stats_sql(),
+    ),
     # r7: CCNet head/middle/tail split — per-lang perplexity tertiles
     # (exact rank-against-count thresholds, broadcast back)
     "lm_ppl_buckets": (
@@ -837,8 +843,7 @@ _DRIVER_HEAD: list[str] = [
     "dedup_semantic",
     "lm_ppl_buckets",
     "mixture_weights",
-    # (d) fill to 50: r6-green re-proof from the similarity signature change
-    "similarity_ann_ivf",
+    "bpe_encode_stats",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -682,13 +682,14 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGE_STEPS) -> DataFrame:
     )
 
 
-def bpe_merges_sql(table: str = "documents", n_merges: int = BPE_MERGE_STEPS) -> str:
-    """The same K-iteration merge loop unrolled as CTEs; each iteration's
-    argmax pair is a 1-row CTE the next words CTE captures in its fold
-    lambda (same list_reduce modify-last shape as _bpe_apply_merge)."""
+def _bpe_chain_cte(table: str, n_merges: int) -> list[str]:
+    """The unrolled K-iteration merge chain as CTE fragments (words0 …
+    words{K}, pc{j}, m{j}); the ``word`` string rides along so consumers
+    (bpe_encode_stats_sql) can join the final symbol table back to the
+    corpus. Shared by bpe_merges_sql and bpe_encode_stats_sql."""
     parts = [
         f"""words0 AS (
-  SELECT string_split(word, '') AS syms, wc FROM (
+  SELECT word, string_split(word, '') AS syms, wc FROM (
     SELECT word, count(*) AS wc FROM (
       SELECT unnest(string_split(text, ' ')) AS word FROM {table}
     ) WHERE word != '' GROUP BY word
@@ -715,7 +716,8 @@ def bpe_merges_sql(table: str = "documents", n_merges: int = BPE_MERGE_STEPS) ->
         )
         parts.append(
             f"""words{j} AS (
-  SELECT list_reduce(
+  SELECT word,
+         list_reduce(
            list_transform(syms, s -> [s]),
            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND x[1] = m.b
                        THEN list_append(acc[1:len(acc) - 1], m.a || m.b)
@@ -724,12 +726,88 @@ def bpe_merges_sql(table: str = "documents", n_merges: int = BPE_MERGE_STEPS) ->
   FROM {prev} CROSS JOIN m{j} m
 )"""
         )
+    return parts
+
+
+def bpe_merges_sql(table: str = "documents", n_merges: int = BPE_MERGE_STEPS) -> str:
+    """The same K-iteration merge loop unrolled as CTEs; each iteration's
+    argmax pair is a 1-row CTE the next words CTE captures in its fold
+    lambda (same list_reduce modify-last shape as _bpe_apply_merge)."""
+    parts = _bpe_chain_cte(table, n_merges)
     union = "\nUNION ALL ".join(
         f"SELECT {j} AS step, a, b, cnt FROM m{j}" for j in range(1, n_merges + 1)
     )
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT CAST(step AS INT) AS step, a, b, cnt FROM ({union}) ORDER BY step"
+    )
+
+
+def bpe_encode_stats(docs: DataFrame, n_merges: int = BPE_MERGE_STEPS) -> DataFrame:
+    """(doc_id, n_words, n_symbols, symbols_per_word) — APPLY the learned
+    merge table back to the corpus: every word tokenizes under the K
+    trained merges and each document reports its whitespace-word count,
+    total BPE symbol count, and mean symbols/word (single rounded
+    expression). The train→apply→measure loop of tokenizer development.
+
+    Scale shape: merges come from the driver loop (bpe_merges); symbol
+    counts are computed ONCE PER DISTINCT WORD (the word table again —
+    the corpus is only touched to explode doc→word and to aggregate per
+    doc: one token-key join + one doc_id agg; the fold chain never runs
+    on the raw corpus)."""
+    spark = docs.sparkSession
+    merges = [(r["a"], r["b"]) for r in bpe_merges(docs, n_merges).collect()]
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    syms = F.split(F.col("word"), "")
+    for a, b in merges:
+        syms = _bpe_apply_merge(syms, a, b)
+    word_stats = (
+        words.select("word").distinct().select(
+            "word", F.size(syms).alias("_n_sym")
+        )
+    )
+    _ = spark
+    return (
+        words.join(word_stats, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_n_sym").cast("bigint").alias("n_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_symbols",
+            F.round(
+                F.col("n_symbols").cast("double") / F.col("n_words"), 4
+            ).alias("symbols_per_word"),
+        )
+    )
+
+
+def bpe_encode_stats_sql(
+    table: str = "documents", n_merges: int = BPE_MERGE_STEPS
+) -> str:
+    parts = _bpe_chain_cte(table, n_merges)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+doc_words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {table}
+  ) WHERE word != ''
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(w.syms)) AS BIGINT) AS n_symbols,
+       round(CAST(sum(len(w.syms)) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 4) AS symbols_per_word
+FROM doc_words d JOIN words{n_merges} w USING (word)
+GROUP BY d.doc_id
+"""
     )
 
 
