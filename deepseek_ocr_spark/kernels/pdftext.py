@@ -16,12 +16,17 @@ honest documented SUBSET with zero native deps:
   on Td/TD/T*/'; CID/Type0 multi-byte text via the embedded /ToUnicode
   CMap (§9.10.3: codespacerange width, bfchar, bfrange incl. array form;
   active font tracked through Tf, /Resources inline/indirect/inherited);
-  RC4-encrypted PDFs (standard security handler §7.6.3, V1/V2 R2/R3)
-  with an EMPTY user password — the owner-restrictions-only shape
-  readers open transparently.
-  NOT supported (returns what it can, never raises): AES encryption
-  (V4+), non-empty user passwords, encrypted object streams; Type0
-  fonts WITHOUT a /ToUnicode CMap (their codes are font-internal).
+  ENCRYPTED PDFs (standard security handler §7.6.3/§7.6.4) with an
+  EMPTY user password — the owner-restrictions-only shape readers open
+  transparently: RC4 (V1/V2 R2/R3), AES-128-CBC (V4/R4 /CFM /AESV2,
+  incl. /EncryptMetadata false), and AES-256-CBC (V5 R5/R6 /AESV3 with
+  the ISO 32000-2 Algorithm 2.B iterated-hash KDF); encrypted OBJECT
+  streams decrypt too (two-pass resolve — the Encrypt dict itself is
+  never inside an ObjStm, §7.5.7).
+  NOT supported (returns what it can, never raises): non-empty user
+  passwords, the public-key (PKCS#7) security handler, crypt filters
+  other than Identity/V2/AESV2/AESV3; Type0 fonts WITHOUT a /ToUnicode
+  CMap (their codes are font-internal).
   A hostile or unsupported payload yields fewer/empty pages, not an
   exception — the same quarantine rule as every other source.
 
@@ -297,11 +302,13 @@ def _xref_stream_entries(data: bytes) -> dict[int, tuple] | None:
     return entries or None
 
 
-def _objstm_members(body: bytes) -> dict[int, bytes]:
+def _objstm_members(body: bytes, decrypt=None) -> dict[int, bytes]:
     """Expand one /Type/ObjStm: the decompressed stream starts with /N
     (objnum, offset) integer pairs in its first /First bytes; member i's
-    body spans [First+off_i, First+off_{i+1})."""
-    stream = _stream_of(body)
+    body spans [First+off_i, First+off_{i+1}). ``decrypt`` (already bound
+    to the ObjStm's own object number) applies to the stored stream bytes
+    before Flate; member strings are NOT separately encrypted (§7.5.7)."""
+    stream = _stream_of(body, decrypt=decrypt)
     sm = _STREAM_START_RE.search(body)
     head = body[: sm.start()] if sm else body
     nm = _N_RE.search(head)
@@ -322,7 +329,7 @@ def _objstm_members(body: bytes) -> dict[int, bytes]:
     return members
 
 
-def _resolve_objects(data: bytes) -> dict[int, bytes]:
+def _resolve_objects(data: bytes, dec=None) -> dict[int, bytes]:
     """All reachable objects: the classic regex scavenge, then — when a
     cross-reference-stream chain parses — the chain's type-1 offsets
     override scavenged duplicates (incremental updates leave stale copies
@@ -330,8 +337,22 @@ def _resolve_objects(data: bytes) -> dict[int, bytes]:
     pull member objects out of their /Type/ObjStm containers. Without a
     usable chain, every scavenged ObjStm is still expanded (members fill
     only missing numbers) so modern PDFs with a damaged trailer keep
-    their page dicts. Never raises."""
+    their page dicts. ``dec`` ((objnum, raw) → plain) decrypts ObjStm
+    stream bytes when the document is encrypted — extract_pdf_text
+    resolves twice, building the decryptor from the first (classic-object)
+    pass, since the Encrypt dict is never itself in an ObjStm. Never
+    raises."""
     objs = _objects(data)
+
+    def members(stm: int) -> dict[int, bytes]:
+        try:
+            return _objstm_members(
+                objs.get(stm, b""),
+                decrypt=(lambda raw, n=stm: dec(n, raw)) if dec is not None else None,
+            )
+        except Exception:
+            return {}
+
     try:
         xref = _xref_stream_entries(data)
     except Exception:
@@ -347,20 +368,14 @@ def _resolve_objects(data: bytes) -> dict[int, bytes]:
             if ent[0] == "c":
                 stm = ent[1]
                 if stm not in cache:
-                    try:
-                        cache[stm] = _objstm_members(objs.get(stm, b""))
-                    except Exception:
-                        cache[stm] = {}
+                    cache[stm] = members(stm)
                 if num in cache[stm]:
                     objs[num] = cache[stm][num]
     else:
         for num in sorted(objs):
             if _OBJSTM_TYPE_RE.search(objs[num]):
-                try:
-                    for mnum, mbody in _objstm_members(objs[num]).items():
-                        objs.setdefault(mnum, mbody)
-                except Exception:
-                    pass
+                for mnum, mbody in members(num).items():
+                    objs.setdefault(mnum, mbody)
     return objs
 
 
@@ -695,6 +710,10 @@ def extract_pdf_text(data: bytes) -> list[str]:
         objs = _resolve_objects(data)
         dec = _build_decryptor(data, objs)  # ValueError (unsupported
         # encryption / wrong password) falls to the outer except → []
+        if dec is not None:
+            # second pass: ObjStm containers decrypt now that the key is
+            # known (pass 1's encrypted ObjStms failed Flate → no members)
+            objs = _resolve_objects(data, dec)
         pages = []
         for num in _ordered_page_nums(objs):
             body = objs[num]
@@ -780,24 +799,38 @@ def make_simple_pdf(pages: list[str], compress: bool = True) -> bytes:
     return bytes(out)
 
 
-def make_modern_pdf(pages: list[str], compress: bool = True) -> bytes:
+def make_modern_pdf(
+    pages: list[str], compress: bool = True, encrypt_r: int | None = None
+) -> bytes:
     """A PDF 1.5 fixture: catalog/pages/page dicts live inside a
     /Type/ObjStm; content streams stay top-level (the spec forbids streams
     inside object streams); the cross-reference is a /Type/XRef stream
     with W [1 4 2] and PNG Up prediction (/Predictor 12) — the layout
     modern generators emit, exercising every lane of the 1.5+ reader.
     Tests carry an independent hand-built fixture as the spec; this writer
-    exists for corpus datagen and e2e mixes."""
+    exists for corpus datagen and e2e mixes. ``encrypt_r`` adds standard-
+    handler encryption (see _fixture_crypt): content AND ObjStm streams
+    encrypt, the XRef stream stays plain (§7.5.8.2), the Encrypt dict is a
+    top-level object — the real-world modern encrypted shape."""
+    import hashlib
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
     n_pages = len(pages)
     # object numbering: 1 catalog, 2 pages node, page i → dict 3+2i (in
-    # the ObjStm), content 4+2i (top-level); then ObjStm, then XRef stream
+    # the ObjStm), content 4+2i (top-level); then ObjStm, [Encrypt,] then
+    # XRef stream
     objstm_num = 3 + 2 * n_pages
-    xref_num = objstm_num + 1
+    enc_num = objstm_num + 1 if encrypt_r is not None else None
+    xref_num = objstm_num + (2 if encrypt_r is not None else 1)
     size = xref_num + 1
+
+    id0 = hashlib.md5(b"modern-fixture-id" + str(n_pages).encode()).digest()
+    if encrypt_r is not None:
+        enc_dict, enc_stream = _fixture_crypt(encrypt_r, b"owner", id0)
+    else:
+        enc_dict, enc_stream = b"", lambda num, plain: plain
 
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     compressed_members: list[tuple[int, bytes]] = [
@@ -823,15 +856,16 @@ def make_modern_pdf(pages: list[str], compress: bool = True) -> bytes:
         ops.append("ET")
         stream = " ".join(ops).encode("latin-1")
         if compress:
-            comp = zlib.compress(stream)
+            comp = enc_stream(content_num, zlib.compress(stream))
             top_level[content_num] = (
                 f"<< /Length {len(comp)} /Filter /FlateDecode >>".encode()
                 + b"\nstream\n" + comp + b"\nendstream"
             )
         else:
+            raw = enc_stream(content_num, stream)
             top_level[content_num] = (
-                f"<< /Length {len(stream)} >>".encode()
-                + b"\nstream\n" + stream + b"\nendstream"
+                f"<< /Length {len(raw)} >>".encode()
+                + b"\nstream\n" + raw + b"\nendstream"
             )
 
     # object stream: header = "num off" pairs, bodies at /First + off
@@ -842,12 +876,14 @@ def make_modern_pdf(pages: list[str], compress: bool = True) -> bytes:
         bodies += body + b"\n"
     header = (" ".join(heads) + "\n").encode()
     payload = header + bytes(bodies)
-    comp_payload = zlib.compress(payload)
+    comp_payload = enc_stream(objstm_num, zlib.compress(payload))
     top_level[objstm_num] = (
         f"<< /Type /ObjStm /N {len(compressed_members)} /First {len(header)} "
         f"/Length {len(comp_payload)} /Filter /FlateDecode >>".encode()
         + b"\nstream\n" + comp_payload + b"\nendstream"
     )
+    if enc_num is not None:
+        top_level[enc_num] = enc_dict
 
     out = bytearray(b"%PDF-1.5\n")
     offsets: dict[int, int] = {}
@@ -878,9 +914,15 @@ def make_modern_pdf(pages: list[str], compress: bool = True) -> bytes:
         prev = row
     comp_xref = zlib.compress(bytes(pred))
     xref_at = len(out)
+    enc_entry = (
+        f"/Encrypt {enc_num} 0 R /ID [<{id0.hex().upper()}> "
+        f"<{id0.hex().upper()}>] "
+        if enc_num is not None
+        else ""
+    )
     out += (
         f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
-        f"/Root 1 0 R /Filter /FlateDecode "
+        f"/Root 1 0 R {enc_entry}/Filter /FlateDecode "
         f"/DecodeParms << /Predictor 12 /Columns {rowlen} >> "
         f"/Length {len(comp_xref)} >>".encode()
         + b"\nstream\n" + comp_xref + b"\nendstream\nendobj\n"
@@ -974,12 +1016,15 @@ def make_cid_pdf(pages: list[str]) -> bytes:
     return bytes(out)
 
 
-# --- encrypted PDFs: standard security handler, RC4 (V1/V2, R2/R3) ----------
-# ISO 32000-1 §7.6.3: the common "owner password only" case — the USER
-# password is empty, so readers open the file transparently while edit
-# permissions are restricted. Covers classic-xref encrypted PDFs; AES (V4+)
-# and encrypted object streams stay out of scope (documented), degrading
-# to empty pages like every other unsupported flavor.
+# --- encrypted PDFs: standard security handler ------------------------------
+# ISO 32000-1 §7.6.3 / 32000-2 §7.6.4: the common "owner password only"
+# case — the USER password is empty, so readers open the file transparently
+# while edit permissions are restricted. Supported flavors: RC4 (V1/V2,
+# R2/R3), AES-128-CBC (V4/R4, /CFM /AESV2, kernels/aescrypt.py), and
+# AES-256-CBC (V5, R5/R6, /CFM /AESV3 with the Algorithm 2.B KDF).
+# Anything else (public-key handler, unknown crypt filters, non-empty user
+# passwords) raises ValueError inside extract_pdf_text's guard and the
+# document degrades to empty pages like every other unsupported flavor.
 
 _PAD = bytes(
     [
@@ -1000,6 +1045,10 @@ _O_HEX_RE = re.compile(rb"/O\s*<([0-9A-Fa-f]+)>")
 _U_HEX_RE = re.compile(rb"/U\s*<([0-9A-Fa-f]+)>")
 _O_LIT_RE = re.compile(rb"/O\s*\(")
 _U_LIT_RE = re.compile(rb"/U\s*\(")
+_UE_HEX_RE = re.compile(rb"/UE\s*<([0-9A-Fa-f]+)>")
+_UE_LIT_RE = re.compile(rb"/UE\s*\(")
+_CFM_RE = re.compile(rb"/CFM\s*/(\w+)")
+_ENCMETA_FALSE_RE = re.compile(rb"/EncryptMetadata\s+false\b")
 
 
 def _rc4(key: bytes, data: bytes) -> bytes:
@@ -1035,9 +1084,11 @@ def _pw_bytes(body: bytes, hex_re, lit_re) -> bytes | None:
 
 def _std_security_key(
     enc: bytes, id0: bytes, password: bytes = b""
-) -> tuple[bytes, int] | None:
-    """Algorithm 2: the file encryption key for the standard handler (and
-    the revision), or None when the dict is not a supported RC4 flavor."""
+) -> tuple[bytes, int, str] | None:
+    """Algorithm 2: the file encryption key for the standard handler,
+    returned as (key, revision, method) where method is "rc4" or "aesv2";
+    None when the dict is not a supported V1/V2/V4 flavor (V5 has its own
+    derivation, _aes256_decryptor)."""
     import hashlib
 
     if not _FILTER_STD_RE.search(enc):
@@ -1047,22 +1098,38 @@ def _std_security_key(
     if vm is None or rm is None or pm is None or o is None:
         return None
     v, r, p = int(vm.group(1)), int(rm.group(1)), int(pm.group(1))
-    if v not in (1, 2) or r not in (2, 3):
-        return None  # AES / newer revisions out of scope
+    method = "rc4"
+    if v in (1, 2) and r in (2, 3):
+        pass
+    elif v == 4 and r == 4:
+        # V4 names its stream filter via /CF; only the two standard crypt
+        # filter methods are in scope (Identity would mean "not encrypted")
+        cm = _CFM_RE.search(enc)
+        if cm is None:
+            return None
+        if cm.group(1) == b"AESV2":
+            method = "aesv2"
+        elif cm.group(1) != b"V2":
+            return None
+    else:
+        return None  # V5 handled separately; anything else unsupported
     n = 5
-    if v == 2:
+    if v >= 2:
         lm = _KEYLEN_RE.search(enc)
+        n = 16 if v == 4 else 5
         if lm:
             n = max(5, min(16, int(lm.group(1)) // 8))
     padded = (password + _PAD)[:32]
     h = hashlib.md5(
         padded + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
     )
+    if r >= 4 and _ENCMETA_FALSE_RE.search(enc):
+        h.update(b"\xff\xff\xff\xff")  # Algorithm 2 step f
     key = h.digest()
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key[:n]).digest()
-    return key[:n], r
+    return key[:n], r, method
 
 
 def _verify_empty_user_pw(enc: bytes, id0: bytes, key: bytes, r: int) -> bool:
@@ -1081,12 +1148,75 @@ def _verify_empty_user_pw(enc: bytes, id0: bytes, key: bytes, r: int) -> bool:
     return x == u[:16]
 
 
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6) iterated hash: SHA-256 seeded, then
+    rounds of AES-128-CBC over 64 repetitions of (password+K+udata) with
+    the digest family re-chosen by E's leading 16 bytes mod 3, until
+    round ≥ 64 and E's last byte ≤ round − 32. An independent transcription
+    is pinned equal in tests/test_pdf_source.py."""
+    import hashlib
+
+    from . import aescrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        rnd += 1
+        k1 = (password + k + udata) * 64
+        e = aescrypt.cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][
+            int.from_bytes(e[:16], "big") % 3
+        ](e).digest()
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _aes256_decryptor(enc: bytes):
+    """V5 (R5/R6) standard handler, EMPTY user password: verify /U's hash,
+    derive the intermediate key from the key salt, unwrap the 32-byte file
+    key from /UE (AES-256-CBC, zero IV, no padding). Per-object keys do
+    not exist in V5 — the file key is used directly (§7.6.4.3)."""
+    import hashlib
+
+    from . import aescrypt
+
+    rm = _R_RE.search(enc)
+    cm = _CFM_RE.search(enc)
+    r = int(rm.group(1)) if rm else 0
+    if r not in (5, 6) or cm is None or cm.group(1) != b"AESV3":
+        raise ValueError("encrypted PDF: unsupported V5 flavor")
+    u = _pw_bytes(enc, _U_HEX_RE, _U_LIT_RE)
+    ue = _pw_bytes(enc, _UE_HEX_RE, _UE_LIT_RE)
+    if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+        raise ValueError("encrypted PDF: malformed /U or /UE")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 5:
+        check = hashlib.sha256(vsalt).digest()
+        ikey = hashlib.sha256(ksalt).digest()
+    else:
+        check = _hash_2b(b"", vsalt, b"")
+        ikey = _hash_2b(b"", ksalt, b"")
+    if check != u[:32]:
+        raise ValueError("encrypted PDF: non-empty user password")
+    file_key = aescrypt.cbc_decrypt(ikey, b"\x00" * 16, ue[:32], unpad=False)
+
+    def decrypt(objnum: int, raw: bytes, gen: int = 0) -> bytes:
+        if len(raw) < 32 or len(raw) % 16:
+            raise ValueError("bad AES stream size")
+        return aescrypt.cbc_decrypt(file_key, raw[:16], raw[16:])
+
+    return decrypt
+
+
 def _build_decryptor(data: bytes, objs: dict[int, bytes]):
     """None for unencrypted input; a (objnum, raw)->plain callable when the
-    trailer references a supported RC4 standard-handler dict and the empty
-    user password verifies; raises ValueError (caught by extract_pdf_text)
-    for encrypted-but-unsupported so the document degrades to empty."""
+    trailer references a supported standard-handler dict (RC4, AESV2, or
+    AESV3) and the empty user password verifies; raises ValueError (caught
+    by extract_pdf_text) for encrypted-but-unsupported so the document
+    degrades to empty."""
     import hashlib
+
+    from . import aescrypt
 
     em = None
     for em in _ENCRYPT_REF_RE.finditer(data):
@@ -1097,71 +1227,171 @@ def _build_decryptor(data: bytes, objs: dict[int, bytes]):
     idm = _ID_RE.search(data)
     if enc is None:
         raise ValueError("encrypted PDF: missing Encrypt dict")
+    vm = _V_RE.search(enc)
+    if vm is not None and int(vm.group(1)) == 5:
+        # only the standard handler (§7.6.4); /PubSec et al. are unsupported
+        if not _FILTER_STD_RE.search(enc):
+            raise ValueError("encrypted PDF: unsupported security handler")
+        return _aes256_decryptor(enc)
     id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
     got = _std_security_key(enc, id0)
     if got is None:
         raise ValueError("encrypted PDF: unsupported security handler")
-    key, r = got
+    key, r, method = got
     if not _verify_empty_user_pw(enc, id0, key, r):
         raise ValueError("encrypted PDF: non-empty user password")
 
-    def decrypt(objnum: int, raw: bytes, gen: int = 0) -> bytes:
-        ok = hashlib.md5(
-            key + objnum.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    def objkey(objnum: int, gen: int, salt: bytes) -> bytes:
+        return hashlib.md5(
+            key + objnum.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
         ).digest()[: min(len(key) + 5, 16)]
-        return _rc4(ok, raw)
+
+    if method == "aesv2":
+
+        def decrypt(objnum: int, raw: bytes, gen: int = 0) -> bytes:
+            # Algorithm 1 step b: the AES flavor appends the sAlT marker
+            if len(raw) < 32 or len(raw) % 16:
+                raise ValueError("bad AES stream size")
+            return aescrypt.cbc_decrypt(
+                objkey(objnum, gen, b"sAlT"), raw[:16], raw[16:]
+            )
+
+    else:
+
+        def decrypt(objnum: int, raw: bytes, gen: int = 0) -> bytes:
+            return _rc4(objkey(objnum, gen, b""), raw)
 
     return decrypt
+
+
+def _fixture_crypt(r: int, owner_password: bytes, id0: bytes):
+    """(enc_dict, enc_stream) for the encrypted fixture writers: the
+    standard-handler credentials for revision r with an EMPTY user
+    password. R2 → V1/RC4-40, R3 → V2/RC4-128, R4 → V4/AESV2
+    (AES-128-CBC), R5/R6 → V5/AESV3 (AES-256-CBC, R6 via the Algorithm 2.B
+    KDF). Streams encrypt with the per-object key (Algorithm 1) or the V5
+    file key; /O /U (/OE /UE /Perms) follow Algorithms 3/4/5 (V≤4) or
+    8/9/10 (V5). IVs are derived from object numbers so fixtures are
+    task-retry deterministic."""
+    import hashlib
+
+    from . import aescrypt
+
+    p = -44  # typical restrictive permissions
+
+    if r in (2, 3, 4):
+        v = {2: 1, 3: 2, 4: 4}[r]
+        n = 5 if r == 2 else 16
+
+        # Algorithm 3: /O from the owner password
+        okey = hashlib.md5((owner_password + _PAD)[:32]).digest()
+        if r >= 3:
+            for _ in range(50):
+                okey = hashlib.md5(okey).digest()
+        okey = okey[:n]
+        o = _rc4(okey, _PAD)  # empty user password → padded user pw == _PAD
+        if r >= 3:
+            for i in range(1, 20):
+                o = _rc4(bytes(b ^ i for b in okey), o)
+
+        # Algorithm 2: the file key (empty user password)
+        key = hashlib.md5(
+            _PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        ).digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        key = key[:n]
+
+        # Algorithms 4/5: /U
+        if r == 2:
+            u = _rc4(key, _PAD)
+        else:
+            u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+            for i in range(1, 20):
+                u = _rc4(bytes(b ^ i for b in key), u)
+            u = u + b"\x00" * 16  # 16 arbitrary padding bytes per spec
+
+        def objkey(num: int, salt: bytes = b"", gen: int = 0) -> bytes:
+            return hashlib.md5(
+                key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + salt
+            ).digest()[: min(n + 5, 16)]
+
+        if r == 4:
+
+            def enc_stream(num: int, plain: bytes) -> bytes:
+                iv = hashlib.md5(b"aes-iv" + num.to_bytes(3, "little")).digest()
+                return iv + aescrypt.cbc_encrypt(objkey(num, b"sAlT"), iv, plain)
+
+            enc_dict = (
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 /P {p} "
+                f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                f"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
+            ).encode()
+        else:
+
+            def enc_stream(num: int, plain: bytes) -> bytes:
+                return _rc4(objkey(num), plain)
+
+            enc_dict = (
+                f"<< /Filter /Standard /V {v} /R {r} /Length {n * 8} "
+                f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
+            ).encode()
+    elif r in (5, 6):
+        kdf = (
+            _hash_2b
+            if r == 6
+            else (lambda pw, salt, ud: hashlib.sha256(pw + salt + ud).digest())
+        )
+        uvsalt = hashlib.md5(b"uv-salt").digest()[:8]
+        uksalt = hashlib.md5(b"uk-salt").digest()[:8]
+        ovsalt = hashlib.md5(b"ov-salt").digest()[:8]
+        oksalt = hashlib.md5(b"ok-salt").digest()[:8]
+        file_key = hashlib.sha256(b"fixture-file-key").digest()
+        u = kdf(b"", uvsalt, b"") + uvsalt + uksalt  # Algorithm 8
+        ue = aescrypt.cbc_encrypt(
+            kdf(b"", uksalt, b""), b"\x00" * 16, file_key, pad=False
+        )
+        o = kdf(owner_password, ovsalt, u) + ovsalt + oksalt  # Algorithm 9
+        oe = aescrypt.cbc_encrypt(
+            kdf(owner_password, oksalt, u), b"\x00" * 16, file_key, pad=False
+        )
+        perms_plain = (  # Algorithm 10
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff"
+            + b"Tadb"
+            + hashlib.md5(b"perms-rand").digest()[:4]
+        )
+        perms = aescrypt.encrypt_block(file_key, perms_plain)
+
+        def enc_stream(num: int, plain: bytes) -> bytes:
+            iv = hashlib.md5(b"aes-iv" + num.to_bytes(3, "little")).digest()
+            return iv + aescrypt.cbc_encrypt(file_key, iv, plain)
+
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P {p} "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            f"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            f"/O <{o.hex().upper()}> /U <{u.hex().upper()}> "
+            f"/OE <{oe.hex().upper()}> /UE <{ue.hex().upper()}> "
+            f"/Perms <{perms.hex().upper()}> >>"
+        ).encode()
+    else:
+        raise ValueError(f"unsupported fixture revision {r}")
+    return enc_dict, enc_stream
 
 
 def make_encrypted_pdf(
     pages: list[str], r: int = 3, owner_password: bytes = b"owner"
 ) -> bytes:
     """A classic-xref fixture encrypted with the standard security handler
-    (RC4; R2 → V1/40-bit, R3 → V2/128-bit), empty USER password — the
-    owner-restrictions-only shape readers open transparently. Content
-    streams are RC4-encrypted with the per-object key (Algorithm 1);
-    /O and /U follow Algorithms 3/4/5."""
+    (see _fixture_crypt for the supported revisions), empty USER password —
+    the owner-restrictions-only shape readers open transparently."""
     import hashlib
 
-    v = 1 if r == 2 else 2
-    n = 5 if r == 2 else 16
-    p = -44  # typical restrictive permissions
     id0 = hashlib.md5(b"fixture-id" + str(len(pages)).encode()).digest()
-
-    # Algorithm 3: /O from the owner password
-    okey = hashlib.md5((owner_password + _PAD)[:32]).digest()
-    if r >= 3:
-        for _ in range(50):
-            okey = hashlib.md5(okey).digest()
-    okey = okey[:n]
-    o = _rc4(okey, _PAD)  # empty user password → padded user pw == _PAD
-    if r >= 3:
-        for i in range(1, 20):
-            o = _rc4(bytes(b ^ i for b in okey), o)
-
-    # Algorithm 2: the file key (empty user password)
-    key = hashlib.md5(
-        _PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
-    ).digest()
-    if r >= 3:
-        for _ in range(50):
-            key = hashlib.md5(key[:n]).digest()
-    key = key[:n]
-
-    # Algorithms 4/5: /U
-    if r == 2:
-        u = _rc4(key, _PAD)
-    else:
-        u = _rc4(key, hashlib.md5(_PAD + id0).digest())
-        for i in range(1, 20):
-            u = _rc4(bytes(b ^ i for b in key), u)
-        u = u + b"\x00" * 16  # 16 arbitrary padding bytes per spec
-
-    def objkey(num: int, gen: int = 0) -> bytes:
-        return hashlib.md5(
-            key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
-        ).digest()[: min(n + 5, 16)]
+    enc_dict, enc_stream = _fixture_crypt(r, owner_password, id0)
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -1183,16 +1413,13 @@ def make_encrypted_pdf(
                 ops.append("0 -14 Td")
             ops.append(f"({esc(line)}) Tj")
         ops.append("ET")
-        cipher = _rc4(objkey(content_num), " ".join(ops).encode("latin-1"))
+        cipher = enc_stream(content_num, " ".join(ops).encode("latin-1"))
         objs.append(
             f"<< /Length {len(cipher)} >>".encode()
             + b"\nstream\n" + cipher + b"\nendstream"
         )
     enc_num = len(objs) + 1
-    objs.append(
-        f"<< /Filter /Standard /V {v} /R {r} /Length {n * 8} "
-        f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>".encode()
-    )
+    objs.append(enc_dict)
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objs, start=1):

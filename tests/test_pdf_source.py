@@ -567,7 +567,7 @@ def test_cid_hostile_cmaps_never_raise():
 # --- RC4-encrypted PDFs (standard security handler, empty user password) -----
 
 
-@pytest.mark.parametrize("r", [2, 3])
+@pytest.mark.parametrize("r", [2, 3, 4, 5, 6])
 def test_encrypted_pdf_roundtrip(r):
     from deepseek_ocr_spark.kernels.pdftext import make_encrypted_pdf
 
@@ -612,3 +612,114 @@ def test_encrypted_pdf_unsupported_flavors_degrade():
         for _k in range(rng.randrange(1, 6)):
             b[rng.randrange(len(b))] = rng.randrange(256)
         assert isinstance(extract_pdf_text(bytes(b)), list)
+
+
+# --- AES-encrypted PDFs (V4/AESV2, V5/AESV3) ---------------------------------
+
+
+def test_algorithm_2b_independent_transcription():
+    """ISO 32000-2 Algorithm 2.B (the R6 KDF) — an independent
+    transcription of the published algorithm is the spec the module's
+    implementation must match (same rule as ref_resize_bicubic)."""
+    import hashlib
+
+    from deepseek_ocr_spark.kernels import aescrypt
+    from deepseek_ocr_spark.kernels.pdftext import _hash_2b
+
+    def ref_2b(password, salt, udata):
+        K = hashlib.sha256(password + salt + udata).digest()
+        i = 0
+        while True:
+            i += 1
+            K1 = (password + K + udata) * 64
+            E = aescrypt.cbc_encrypt(K[:16], K[16:32], K1, pad=False)
+            mod = int.from_bytes(E[:16], "big") % 3
+            if mod == 0:
+                K = hashlib.sha256(E).digest()
+            elif mod == 1:
+                K = hashlib.sha384(E).digest()
+            else:
+                K = hashlib.sha512(E).digest()
+            if i >= 64 and E[-1] <= i - 32:
+                return K[:32]
+
+    for pw, salt, ud in [
+        (b"", b"saltsalt", b""),
+        (b"owner", b"12345678", b"U" * 48),
+        (b"\xe4\xb8\xad", b"\x00" * 8, b""),
+    ]:
+        assert _hash_2b(pw, salt, ud) == ref_2b(pw, salt, ud)
+
+
+@pytest.mark.parametrize("r", [3, 4, 6])
+def test_encrypted_modern_pdf_objstm_decrypts(r):
+    """The real-world modern encrypted shape: xref STREAM (never encrypted)
+    + encrypted /Type/ObjStm holding the page tree + encrypted content
+    streams — the two-pass resolve must surface the pages."""
+    from deepseek_ocr_spark.kernels.pdftext import make_modern_pdf
+
+    pages = ["modern secret alpha\nbeta", "gamma page"]
+    pdf = make_modern_pdf(pages, encrypt_r=r)
+    assert b"modern secret" not in pdf
+    assert extract_pdf_text(pdf) == pages
+
+
+def test_aes_encrypted_pdf_unsupported_flavors_degrade():
+    import re as _re
+
+    from deepseek_ocr_spark.kernels.pdftext import make_encrypted_pdf
+
+    pdf4 = make_encrypted_pdf(["x"], r=4)
+    # unknown crypt filter method -> unsupported -> []
+    assert extract_pdf_text(pdf4.replace(b"/CFM /AESV2", b"/CFM /AESV9")) == []
+    pdf6 = make_encrypted_pdf(["x"], r=6)
+    # corrupt /U hash -> empty-user-password check fails -> []
+    m = _re.search(rb"/U <([0-9A-F]+)>", pdf6)
+    assert (
+        extract_pdf_text(pdf6[: m.start(1)] + b"00" * 48 + pdf6[m.end(1) :]) == []
+    )
+    # truncated /UE -> malformed -> []
+    m = _re.search(rb"/UE <([0-9A-F]+)>", pdf6)
+    assert (
+        extract_pdf_text(pdf6[: m.start(1)] + b"AB" * 8 + pdf6[m.end(1) :]) == []
+    )
+    # public-key handler -> unsupported -> []
+    assert (
+        extract_pdf_text(pdf6.replace(b"/Filter /Standard", b"/Filter /PubSec"))
+        == []
+    )
+
+
+@pytest.mark.parametrize("r", [4, 6])
+def test_aes_encrypted_pdf_mutation_fuzz(r):
+    import random
+
+    from deepseek_ocr_spark.kernels.pdftext import make_encrypted_pdf
+
+    pdf = make_encrypted_pdf(["fuzz page"], r=r)
+    rng = random.Random(1000 + r)
+    for _ in range(80):
+        b = bytearray(pdf)
+        for _k in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        assert isinstance(extract_pdf_text(bytes(b)), list)
+
+
+def test_encrypt_metadata_false_key_derivation():
+    """/EncryptMetadata false changes Algorithm 2 (step f appends
+    0xFFFFFFFF) — a reader that ignores it derives the wrong key. The
+    fixture flips the flag on a re-derived document."""
+    import hashlib
+
+    from deepseek_ocr_spark.kernels import aescrypt
+    from deepseek_ocr_spark.kernels.pdftext import (
+        _PAD,
+        _build_decryptor,
+        _resolve_objects,
+        make_encrypted_pdf,
+    )
+
+    pdf = make_encrypted_pdf(["meta page"], r=4)
+    # naive flag flip alone must NOT decrypt (key mismatch -> [])
+    flipped = pdf.replace(b"/V 4 /R 4", b"/V 4 /R 4 /EncryptMetadata false")
+    assert extract_pdf_text(flipped) == []
