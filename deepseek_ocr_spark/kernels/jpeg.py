@@ -8,9 +8,11 @@ in-sandbox, the way the PNG codec was done in round 3.
 
 DECODER — sequential DCT (SOF0/SOF1) AND progressive (SOF2: spectral
 selection, successive approximation, EOB runs — the jdphuff.c scan
-semantics), 8-bit, Huffman-coded, grayscale or YCbCr, sampling 1x1 /
-2x1 / 2x2 (other integral ratios via box upsample), DRI/RSTn restart
-markers.  The arithmetic after entropy
+semantics) Huffman processes, plus (r7) the ARITHMETIC-coded processes
+SOF9 (sequential) and SOF10 (progressive) via the QM coder in
+kernels/jparith.py with DAC conditioning; 8-bit, grayscale or YCbCr,
+sampling 1x1 / 2x1 / 2x2 (other integral ratios via box upsample),
+DRI/RSTn restart markers.  The arithmetic after entropy
 decoding is a transcription of the PUBLIC libjpeg reference
 implementation — jidctint.c "islow" fixed-point IDCT, jdsample.c fancy
 (triangle) upsampling, jdcolor.c fixed-point YCbCr→RGB tables — public
@@ -28,9 +30,11 @@ FROM the image's own symbol frequencies (the jchuff.c optimal-table
 algorithm) — no memorized standard Huffman tables to get subtly wrong,
 and smaller files than the fixed tables.
 
-Arithmetic coding, lossless/hierarchical processes, 12-bit precision
-and >2 sampling factors raise NotImplementedError — callers fall back to
-the PIL codec gate exactly as before this module existed.
+Lossless/hierarchical processes, 12-bit precision and >2 sampling
+factors raise NotImplementedError — callers fall back to the PIL codec
+gate exactly as before this module existed.  (PIL cannot decode the
+arithmetic processes at all, so the SOF9/SOF10 lanes EXCEED the
+reference pipeline's codec surface.)
 
 Scale shape: this kernel runs inside Arrow-batched mapInPandas stages
 (operators/vision.py, operators/multimodal.py) — per-image work,
@@ -45,6 +49,7 @@ import struct
 
 import numpy as np
 
+from . import jparith
 from .pixels import Image
 
 # --- shared constants --------------------------------------------------------
@@ -361,10 +366,13 @@ def _decode_jpeg_checked(data: bytes) -> Image:
     qt: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, _Huff] = {}
     ac_tabs: dict[int, _Huff] = {}
+    dac_dc: dict[int, tuple[int, int]] = {}  # DC conditioning: (L, U)
+    dac_ac: dict[int, int] = {}  # AC conditioning: Kx
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
     progressive = False
+    arith = False
     saw_scan = False
     out: np.ndarray | None = None
 
@@ -397,8 +405,11 @@ def _decode_jpeg_checked(data: bytes) -> Image:
                 for k, v in enumerate(vals):
                     nat[ZIGZAG[k]] = v
                 qt[tq] = nat
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/SOF1 sequential, SOF2 progressive (Huffman);
+            # SOF9 sequential, SOF10 progressive (arithmetic, r7)
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -422,12 +433,27 @@ def _decode_jpeg_checked(data: bytes) -> Image:
                 comps.append(comp)
             if progressive:
                 _alloc_blocks(comps, width, height)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG process (SOF marker 0x{marker:02x}) — "
                 "use the native-codec lane"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 15
+                cs = seg[i + 1]
+                if tc == 0:
+                    lo, up = cs & 15, cs >> 4
+                    if not lo <= up:
+                        raise ValueError("bad DC conditioning (L > U)")
+                    dac_dc[tb] = (lo, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("bad AC conditioning Kx")
+                    dac_ac[tb] = cs
+                i += 2
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -451,17 +477,30 @@ def _decode_jpeg_checked(data: bytes) -> Image:
                 scan.append(comp)
             if progressive:
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-                pos = _prog_scan(
-                    data, pos + 2 + seglen, scan, comps,
-                    dc_tabs, ac_tabs, restart_interval,
-                    ss, se, ahal >> 4, ahal & 15, width, height,
-                )
+                if arith:
+                    pos = _prog_scan_arith(
+                        data, pos + 2 + seglen, scan, comps,
+                        dac_dc, dac_ac, restart_interval,
+                        ss, se, ahal >> 4, ahal & 15, width, height,
+                    )
+                else:
+                    pos = _prog_scan(
+                        data, pos + 2 + seglen, scan, comps,
+                        dc_tabs, ac_tabs, restart_interval,
+                        ss, se, ahal >> 4, ahal & 15, width, height,
+                    )
                 saw_scan = True
                 continue  # more scans follow until EOI
-            out = _decode_scan(
-                data, pos + 2 + seglen, scan, comps, width, height,
-                qt, dc_tabs, ac_tabs, restart_interval,
-            )
+            if arith:
+                out = _decode_scan_arith(
+                    data, pos + 2 + seglen, scan, comps, width, height,
+                    qt, dac_dc, dac_ac, restart_interval,
+                )
+            else:
+                out = _decode_scan(
+                    data, pos + 2 + seglen, scan, comps, width, height,
+                    qt, dc_tabs, ac_tabs, restart_interval,
+                )
             break  # single-scan baseline: done after first SOS
         # else: APPn/COM — skip
         pos += 2 + seglen
@@ -820,6 +859,220 @@ def _scan_units(
     ]
 
 
+# --- arithmetic-coded scans (T.81 Annexes F/G entropy via kernels/jparith) ---
+
+
+def _arith_cond(
+    dac_dc: dict[int, tuple[int, int]], dac_ac: dict[int, int],
+    td: int, ta: int,
+) -> tuple[int, int, int]:
+    """(L, U, Kx) conditioning for one component's scan tables, with the
+    spec defaults when no DAC segment set them (F.1.4.4.1.2 / F.1.4.4.2)."""
+    lo, up = dac_dc.get(td, (jparith.DC_DEFAULT_L, jparith.DC_DEFAULT_U))
+    kx = dac_ac.get(ta, jparith.AC_DEFAULT_KX)
+    return lo, up, kx
+
+
+def _find_restart(data: bytes, pos: int, expect: int) -> int:
+    """Position just past the expected RSTn marker at/after ``pos``
+    (skipping unconsumed entropy bytes).  Raises ValueError when a
+    different marker appears — a hostile or truncated stream."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+        elif data[pos + 1] == 0x00:
+            pos += 2
+        elif data[pos + 1] == 0xFF:
+            pos += 1
+        else:
+            if data[pos + 1] != 0xD0 + expect:
+                raise ValueError("missing restart marker in arithmetic scan")
+            return pos + 2
+    raise ValueError("truncated arithmetic scan (no restart marker)")
+
+
+def _decode_scan_arith(
+    data: bytes,
+    pos: int,
+    scan: list[_Component],
+    comps: list[_Component],
+    width: int,
+    height: int,
+    qt: dict[int, np.ndarray],
+    dac_dc: dict[int, tuple[int, int]],
+    dac_ac: dict[int, int],
+    restart_interval: int,
+) -> np.ndarray:
+    """Sequential arithmetic scan (SOF9): the Annex F statistical model
+    over the shared MCU geometry; statistics, DC contexts and predictors
+    reset at every restart marker (F.1.4.1)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    if len(scan) == 1 and len(comps) == 1:
+        c = scan[0]
+        c.bw = (width + 7) // 8
+        c.bh = (height + 7) // 8
+        order = [(c, 0, 0)]
+        mcus_x, mcus_y = c.bw, c.bh
+    elif len(scan) == len(comps):
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcus_x = (width + mcu_w - 1) // mcu_w
+        mcus_y = (height + mcu_h - 1) // mcu_h
+        for c in scan:
+            c.bw = mcus_x * c.h
+            c.bh = mcus_y * c.v
+        order = [(c, by, bx) for c in scan for by in range(c.v) for bx in range(c.h)]
+    else:
+        raise NotImplementedError("multi-scan sequential JPEG not supported")
+
+    for c in comps:
+        c.blocks = np.zeros((c.bh * c.bw, 64), np.int64)
+
+    def fresh_stats():
+        dc_st = {c.td: jparith.new_stats(jparith.DC_STAT_BINS) for c in scan}
+        ac_st = {c.ta: jparith.new_stats(jparith.AC_STAT_BINS) for c in scan}
+        for c in comps:
+            c.pred = 0
+        return dc_st, ac_st, {id(c): 0 for c in comps}
+
+    dec = jparith.ArithDecoder(data, pos)
+    fixed = jparith.fixed_stats()
+    dc_st, ac_st, dc_ctx = fresh_stats()
+    nmcu = mcus_x * mcus_y
+    rst = 0
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            nxt = _find_restart(data, dec.pos, rst)
+            rst = (rst + 1) & 7
+            dec = jparith.ArithDecoder(data, nxt)
+            dc_st, ac_st, dc_ctx = fresh_stats()
+        my, mx = divmod(m, mcus_x)
+        for c, by, bx in order:
+            if len(order) == 1:
+                row, col = my, mx
+            else:
+                row, col = my * c.v + by, mx * c.h + bx
+            block = c.blocks[row * c.bw + col]
+            lo, up, kx = _arith_cond(dac_dc, dac_ac, c.td, c.ta)
+            diff, dc_ctx[id(c)] = jparith.decode_dc_diff(
+                dec, dc_st[c.td], dc_ctx[id(c)], lo, up
+            )
+            c.pred += diff
+            block[0] = c.pred
+            jparith.decode_ac_coefs(
+                dec, ac_st[c.ta], fixed, block, ZIGZAG, 1, 63, 0, kx
+            )
+
+    return _finalize(comps, width, height, qt)
+
+
+def _ac_refine_arith(dec, st, fixed, block, ss, se, al, kex) -> None:
+    """Progressive AC refinement (G.1.3.3 / jdarith.c decode_mcu_AC_refine):
+    kex is the highest index nonzero after the PREVIOUS stage; the EOB
+    decision only exists beyond it.  Correction bits add ±(1<<al) to
+    already-nonzero coefficients unconditionally (the arithmetic model,
+    unlike the Huffman one, codes the increment itself)."""
+    p1 = 1 << al
+    m1 = (-1) << al
+    k = ss
+    while k <= se:
+        i = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, i):
+                return  # EOB
+        while True:
+            npos = ZIGZAG[k]
+            coef = int(block[npos])
+            if coef != 0:
+                if dec.decode(st, i + 2):
+                    block[npos] = coef + (p1 if coef >= 0 else m1)
+                break
+            if dec.decode(st, i + 1):
+                block[npos] = m1 if dec.decode(fixed, 0) else p1
+                break
+            i += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith AC refine overrun")
+        k += 1
+
+
+def _prog_scan_arith(
+    data: bytes,
+    pos: int,
+    scan: list[_Component],
+    comps: list[_Component],
+    dac_dc: dict[int, tuple[int, int]],
+    dac_ac: dict[int, int],
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    width: int,
+    height: int,
+) -> int:
+    """One progressive arithmetic scan (SOF10) into the persistent
+    coefficient arrays; returns the offset of the following marker.
+    Statistics are fresh per scan and per restart (G.1.3)."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("AC progressive scan must be non-interleaved")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError(f"bad spectral range {ss}..{se}")
+    units = _scan_units(scan, comps, width, height)
+
+    def fresh_stats():
+        if ss == 0:
+            st = {c.td: jparith.new_stats(jparith.DC_STAT_BINS) for c in scan}
+        else:
+            st = {c.ta: jparith.new_stats(jparith.AC_STAT_BINS) for c in scan}
+        for c in comps:
+            c.pred = 0
+        return st, {id(c): 0 for c in comps}
+
+    dec = jparith.ArithDecoder(data, pos)
+    fixed = jparith.fixed_stats()
+    stats, dc_ctx = fresh_stats()
+    rst = 0
+    for m, unit in enumerate(units):
+        if restart_interval and m and m % restart_interval == 0:
+            nxt = _find_restart(data, dec.pos, rst)
+            rst = (rst + 1) & 7
+            dec = jparith.ArithDecoder(data, nxt)
+            stats, dc_ctx = fresh_stats()
+        for c, block_ix in unit:
+            block = c.blocks[block_ix]
+            lo, up, kx = _arith_cond(dac_dc, dac_ac, c.td, c.ta)
+            if ss == 0:
+                if ah == 0:
+                    diff, dc_ctx[id(c)] = jparith.decode_dc_diff(
+                        dec, stats[c.td], dc_ctx[id(c)], lo, up
+                    )
+                    c.pred += diff
+                    block[0] = c.pred << al
+                else:
+                    if dec.decode(fixed, 0):
+                        block[0] |= 1 << al
+            else:
+                if ah == 0:
+                    jparith.decode_ac_coefs(
+                        dec, stats[c.ta], fixed, block, ZIGZAG, ss, se, al, kx
+                    )
+                else:
+                    kex = se
+                    while kex > 0 and block[ZIGZAG[kex]] == 0:
+                        kex -= 1
+                    _ac_refine_arith(
+                        dec, stats[c.ta], fixed, block, ss, se, al, kex
+                    )
+    return _next_marker_pos(data, dec.pos)
+
+
 # --- encoder -----------------------------------------------------------------
 
 # ITU-T T.81 Annex K.1 example quantization tables (the libjpeg defaults)
@@ -973,11 +1226,13 @@ def _block_symbols(zz: np.ndarray, nz: np.ndarray, pred: int) -> tuple[list, int
     return syms, dc
 
 
-def encode_jpeg_baseline(img: Image, quality: int = 95) -> bytes:
-    """pixels.Image → baseline JFIF bytes.  ch==3 encodes YCbCr 4:4:4,
-    ch==1 grayscale; 2/4-channel images must drop alpha first (the
-    operators do).  Huffman tables are built from the actual symbol
-    frequencies (two-pass, jchuff.c optimal algorithm)."""
+def _prep_coeffs(
+    img: Image, quality: int
+) -> tuple[int, int, int, list[np.ndarray], list[np.ndarray], int, int]:
+    """Shared encoder front half: RGB→YCbCr 4:4:4 (or grayscale), edge
+    padding to block multiples, float FDCT + quantization.  Returns
+    (w, h, ch, quants, coeff_sets, bw, bh) — entropy coding (Huffman or
+    arithmetic) is the caller's half."""
     w, h, ch, buf = img
     if ch not in (1, 3):
         raise ValueError(f"JPEG encodes 1 or 3 channels, got {ch}")
@@ -1005,6 +1260,15 @@ def encode_jpeg_baseline(img: Image, quality: int = 95) -> bytes:
     for i, p in enumerate(planes):
         padded = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
         coeff_sets.append(_fdct_quant(padded, quants[min(i, 1)]))
+    return w, h, ch, quants, coeff_sets, bw, bh
+
+
+def encode_jpeg_baseline(img: Image, quality: int = 95) -> bytes:
+    """pixels.Image → baseline JFIF bytes.  ch==3 encodes YCbCr 4:4:4,
+    ch==1 grayscale; 2/4-channel images must drop alpha first (the
+    operators do).  Huffman tables are built from the actual symbol
+    frequencies (two-pass, jchuff.c optimal algorithm)."""
+    w, h, ch, quants, coeff_sets, bw, bh = _prep_coeffs(img, quality)
 
     # pass 1: symbol frequencies per table class (luma=0, chroma=1)
     ntab = 1 if ch == 1 else 2
@@ -1099,5 +1363,131 @@ def encode_jpeg_baseline(img: Image, quality: int = 95) -> bytes:
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- arithmetic encoder (fixture writer for the SOF9/SOF10 decode lanes) -----
+
+
+def encode_jpeg_arith(
+    img: Image,
+    quality: int = 95,
+    progressive: bool = False,
+    restart_interval: int = 0,
+    emit_dac: bool = False,
+) -> bytes:
+    """pixels.Image → arithmetic-coded JFIF bytes (SOF9 sequential or
+    SOF10 progressive, 4:4:4 / grayscale).  Entropy coding is the exact
+    mirror of the decode lanes in kernels/jparith.py; DCT/quantization
+    are shared with encode_jpeg_baseline, so the arithmetic and Huffman
+    encodes of one image decode to IDENTICAL pixels (entropy coding is
+    lossless) — the property the round-trip tests pin.  ``emit_dac``
+    writes an explicit DAC segment with non-default conditioning
+    (L=0,U=2 / Kx=4) to exercise that decode path."""
+    w, h, ch, quants, coeff_sets, bw, bh = _prep_coeffs(img, quality)
+    ncomp = 1 if ch == 1 else 3
+    cond_dc = (0, 2) if emit_dac else (jparith.DC_DEFAULT_L, jparith.DC_DEFAULT_U)
+    cond_kx = 4 if emit_dac else jparith.AC_DEFAULT_KX
+
+    comps = []
+    for ci in range(ncomp):
+        c = _Component(ci + 1, 1, 1, min(ci, 1))
+        c.td = c.ta = min(ci, 1)
+        c.bw, c.bh = bw, bh
+        c.blocks = coeff_sets[ci]
+        comps.append(c)
+    ntab = 1 if ch == 1 else 2
+
+    def run_scan(scan, ss, se, ah, al):
+        """Entropy bytes for one scan (the whole image for sequential),
+        with restart chunking: fresh coder + statistics per chunk."""
+        units = _scan_units(scan, comps, w, h)
+        chunks = []
+        step = restart_interval if restart_interval else len(units) or 1
+        for start in range(0, len(units), step):
+            enc = jparith.ArithEncoder()
+            fixed = jparith.fixed_stats()
+            dc_st = [jparith.new_stats(jparith.DC_STAT_BINS) for _ in range(ntab)]
+            ac_st = [jparith.new_stats(jparith.AC_STAT_BINS) for _ in range(ntab)]
+            dc_ctx = [0] * ncomp
+            preds = [0] * ncomp
+            for unit in units[start : start + step]:
+                for c, block_ix in unit:
+                    ci = c.cid - 1
+                    block = c.blocks[block_ix]
+                    if ss == 0:
+                        if ah == 0:
+                            cur = int(block[0]) >> al  # arithmetic shift (G.1.2.1)
+                            diff = cur - preds[ci]
+                            preds[ci] = cur
+                            dc_ctx[ci] = jparith.encode_dc_diff(
+                                enc, dc_st[c.td], dc_ctx[ci], diff, *cond_dc
+                            )
+                            if se == 63:  # sequential scan: AC follows DC
+                                jparith.encode_ac_coefs(
+                                    enc, ac_st[c.ta], fixed, block, ZIGZAG,
+                                    1, 63, 0, cond_kx,
+                                )
+                        else:
+                            enc.encode(fixed, 0, (int(block[0]) >> al) & 1)
+                    else:
+                        if ah == 0:
+                            jparith.encode_ac_coefs(
+                                enc, ac_st[c.ta], fixed, block, ZIGZAG,
+                                ss, se, al, cond_kx,
+                            )
+                        else:
+                            jparith.encode_ac_refine(
+                                enc, ac_st[c.ta], fixed, block, ZIGZAG, ss, se, al
+                            )
+            chunks.append(enc.flush())
+        body = bytearray()
+        for n, chunk in enumerate(chunks):
+            if n:
+                body += bytes([0xFF, 0xD0 + ((n - 1) & 7)])
+            body += chunk
+        return bytes(body)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(quants):
+        zz = bytes(int(q[ZIGZAG[k]]) for k in range(64))
+        out += seg(0xDB, bytes([ti]) + zz)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += seg(0xCA if progressive else 0xC9, sof)
+    if emit_dac:
+        dac = b"".join(
+            bytes([tc << 4 | tb, cs])
+            for tb in range(ntab)
+            for tc, cs in ((0, cond_dc[1] << 4 | cond_dc[0]), (1, cond_kx))
+        )
+        out += seg(0xCC, dac)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos(scan, ss, se, ah, al):
+        p = bytes([len(scan)])
+        for c in scan:
+            p += bytes([c.cid, (c.td << 4) | c.ta])
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    if not progressive:
+        out += sos(comps, 0, 63, 0, 0)
+        out += run_scan(comps, 0, 63, 0, 0)
+        # sequential: ss/se in the scan runner select DC+AC per block
+    else:
+        script = [(comps, 0, 0, 0, 1)]
+        script += [([c], 1, 63, 0, 1) for c in comps]
+        script += [(comps, 0, 0, 1, 0)]
+        script += [([c], 1, 63, 1, 0) for c in comps]
+        for scan, ss, se, ah, al in script:
+            out += sos(scan, ss, se, ah, al)
+            out += run_scan(scan, ss, se, ah, al)
     out += b"\xff\xd9"
     return bytes(out)

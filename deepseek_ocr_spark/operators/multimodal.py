@@ -32,10 +32,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Format matrix (r5): PNG / baseline+progressive JPEG / GIF /
-# uncompressed BMP = NATIVE pixels (stdlib kernels); arithmetic-coded
-# JPEG, RLE BMP and formats outside the matrix (WEBP/TIFF) = header
-# metadata where sniffable, pixels via the PIL gate; audio = native WAV
+# Format matrix (r7): PNG / JPEG (baseline + progressive + arithmetic,
+# SOF0/1/2/9/10) / GIF / BMP (all depths + RLE) = NATIVE pixels (stdlib
+# kernels); lossless/hierarchical/12-bit JPEG and formats outside the
+# matrix (WEBP/TIFF) = header metadata where sniffable, pixels via the
+# PIL gate; audio = native WAV
 # build/parse/features (kernels/wav.py); video = native MP4 box-tree
 # metadata (kernels/mp4.py), frame decode via ffmpeg gate.
 
@@ -52,11 +53,11 @@ def codecs_available() -> bool:
 
 
 def _real_decode(data: bytes) -> tuple[int, int, int]:
-    """Real pixel decode: PNG, JPEG (baseline + progressive), GIF and
-    BMP (1/4/8/24/32-bit, RLE8, RLE4) via the stdlib kernels;
-    arithmetic-coded JPEG and exotic headers via PIL when present, else a
-    clear NotImplementedError (metadata for those still comes from
-    sniff_image_meta)."""
+    """Real pixel decode: PNG, JPEG (baseline + progressive +
+    arithmetic-coded, r7), GIF and BMP (1/4/8/24/32-bit, RLE8, RLE4) via
+    the stdlib kernels; lossless/hierarchical/12-bit JPEG and exotic
+    headers via PIL when present, else a clear NotImplementedError
+    (metadata for those still comes from sniff_image_meta)."""
     from deepseek_ocr_spark.kernels import bmp, gif, jpeg, pixels
 
     data = bytes(data)
@@ -77,7 +78,7 @@ def _real_decode(data: bytes) -> tuple[int, int, int]:
             w, h, c, _buf = jpeg.decode_jpeg(data)
             return w, h, c
         except NotImplementedError:
-            pass  # progressive / arithmetic — fall through to the PIL gate
+            pass  # lossless / hierarchical / 12-bit — PIL gate
     try:
         from PIL import Image as _PILImage
     except ImportError as e:

@@ -1,9 +1,10 @@
-"""JPEG lane of the non-PNG pixel path.  r5: baseline JPEG decode/encode
-is REAL in-sandbox (kernels/jpeg.py, stdlib+numpy — VERDICT r4 #3), so the
-decode tests here run UN-skipped; the codec gate (NotImplementedError
-naming the missing codec) now covers only progressive/exotic JPEG and GIF
-pixel decode.  PIL cross-parity lives in tests/test_jpeg_kernel.py's
-codec-present lane."""
+"""JPEG lane of the non-PNG pixel path.  Baseline (r5), progressive (r5)
+and arithmetic-coded (r7, kernels/jparith.py) decode are all REAL
+in-sandbox, so the decode tests here run UN-skipped; the codec gate
+(NotImplementedError naming the missing codec) now covers only
+lossless/hierarchical/12-bit JPEG and out-of-matrix formats (WEBP/TIFF).
+PIL cross-parity lives in tests/test_jpeg_kernel.py's codec-present
+lane."""
 
 import importlib.util
 import struct
@@ -27,6 +28,21 @@ def test_real_decode_jpeg_in_sandbox():
     from deepseek_ocr_spark.operators.multimodal import _real_decode
 
     assert _real_decode(_jpeg_bytes(24, 16)) == (24, 16, 3)
+
+
+def test_real_decode_arith_jpeg_in_sandbox():
+    """_real_decode handles ARITHMETIC-coded JPEG (SOF9/SOF10) with NO
+    native codec present — the r7 gate closure at the operator layer
+    (PIL itself raises on these streams, so this exceeds the PIL path)."""
+    from tests.test_pixels import gradient
+
+    from deepseek_ocr_spark.operators.multimodal import _real_decode
+
+    img = gradient(24, 16)
+    seq = jpeg_kernel.encode_jpeg_arith(img, quality=90)
+    prog = jpeg_kernel.encode_jpeg_arith(img, quality=90, progressive=True)
+    assert _real_decode(seq) == (24, 16, 3)
+    assert _real_decode(prog) == (24, 16, 3)
 
 
 def test_region_crops_emit_jpeg(spark):
@@ -59,11 +75,12 @@ def test_encode_jpeg_drops_alpha():
     assert jpeg_kernel.decode_jpeg(data)[:3] == (12, 9, 1)
 
 
-def _arithmetic_stub() -> bytes:
-    """Minimal SOF9 (arithmetic-coded) stream — enough to reach the SOF."""
+def _lossless_stub() -> bytes:
+    """Minimal SOF3 (lossless) stream — enough to reach the SOF.  (SOF9
+    arithmetic is NATIVE since r7 and no longer gate-relevant.)"""
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    out += struct.pack(">BBH", 0xFF, 0xC9, len(sof) + 2) + sof
+    out += struct.pack(">BBH", 0xFF, 0xC3, len(sof) + 2) + sof
     return bytes(out)
 
 
@@ -71,16 +88,16 @@ def _arithmetic_stub() -> bytes:
     _HAS_PIL, reason="codec present — the gate path is for codec-less environments"
 )
 def test_codec_gate_raises_clearly_without_codec():
-    """The narrowed sandbox gate: ARITHMETIC-coded JPEG, RLE BMP and
-    formats outside the native matrix (e.g. WEBP/TIFF) still need a
-    native codec and raise a NotImplementedError naming it (PNG /
-    baseline+progressive JPEG / GIF / uncompressed BMP are all native
-    r5); corrupt streams raise ValueError (a decoder error, not a gate)."""
+    """The narrowed sandbox gate: LOSSLESS/hierarchical JPEG and formats
+    outside the native matrix (e.g. WEBP/TIFF) still need a native codec
+    and raise a NotImplementedError naming it (PNG / every DCT JPEG
+    process incl. arithmetic / GIF / BMP incl. RLE are all native as of
+    r7); corrupt streams raise ValueError (a decoder error, not a gate)."""
     from deepseek_ocr_spark.operators.multimodal import _real_decode, codecs_available
 
     assert not codecs_available()
     with pytest.raises(NotImplementedError, match="native codec"):
-        _real_decode(_arithmetic_stub())
+        _real_decode(_lossless_stub())
     with pytest.raises(NotImplementedError, match="native codec"):
         _real_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 " + bytes(20))
     with pytest.raises(ValueError):
