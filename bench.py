@@ -139,6 +139,7 @@ def main() -> None:
         "lm_ppl_buckets",
         "mixture_weights",
         "bpe_encode_stats",
+        "dsir_select",
     ]
     reg = registry()
     for name in bench_queries:

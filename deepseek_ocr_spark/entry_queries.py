@@ -768,6 +768,15 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: traindata.seq_pack(_docs(s, d), n_shards=traindata.PACK_SHARDS),
         traindata.seq_pack_sql(),
     ),
+    # DSIR importance resampling (r7, Xie et al. 2023): hashed
+    # unigram+bigram buckets, add-1 smoothed target-vs-raw log-ratio in
+    # integer micro-nats, deterministic top-k (TakeOrderedAndProject).
+    # n_buckets pinned below the deployable 10^4 default so every bucket
+    # is populated at driver scale and the oracle mirrors the value.
+    "dsir_select": (
+        lambda s, d: traindata.dsir_topk(_docs(s, d), k=100, n_buckets=256),
+        traindata.dsir_topk_sql(k=100, n_buckets=256),
+    ),
     # full pipeline (rows-only; byte-identity gated in pytest instead) +
     # the oracle-checkable projection of the same pipeline run
     "extract_pipeline": (q_extract_pipeline, None),
@@ -806,7 +815,10 @@ _DRIVER_HEAD: list[str] = [
     "page_ordinals",
     "metrics_rollup",
     "metrics_cube",
-    "metrics_rollup_salted",
+    # metrics_rollup_salted ceded its slot to r7-new dsir_select: it is a
+    # salting variant of metrics_rollup (same module/code path, r5-green,
+    # unchanged since) and the head holds exactly 50 — a never-checked new
+    # operator outranks a variant's evidence freshness
     "formula_cleanup",
     "image_ref_substitution",
     "anti_join_resume",
@@ -844,6 +856,7 @@ _DRIVER_HEAD: list[str] = [
     "lm_ppl_buckets",
     "mixture_weights",
     "bpe_encode_stats",
+    "dsir_select",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

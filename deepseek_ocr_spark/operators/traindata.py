@@ -267,6 +267,205 @@ def seq_pack(
     )
 
 
+DSIR_BUCKETS = 10_000  # deployable default (the paper's 10^4 hash
+# buckets); the registry pins a smaller value sized to the driver corpus
+# so the DuckDB oracle can mirror it
+
+
+def _dsir_doc_buckets(
+    docs: DataFrame, target_lang: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, is_t, b, k) — per-doc hashed-n-gram bucket counts, the
+    DSIR feature table: unigram and bigram 60-bit token digests mod
+    ``n_buckets``.  One shuffle, map-side combinable; ≤ 2·tokens rows per
+    doc pre-agg, ≤ n_buckets after."""
+    is_t = (F.col("lang") == target_lang).alias("is_t")
+    hdf = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", is_t, _token_hashes().alias("h")
+    )
+    n = F.size(F.col("h"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.element_at(F.col("h"), i).bitwiseXOR(
+                _rot60(F.element_at(F.col("h"), i + F.lit(1)), 20)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    buckets = F.transform(
+        F.concat(F.col("h"), bigrams), lambda g: (g % n_buckets).cast("bigint")
+    )
+    return (
+        hdf.select("doc_id", "is_t", F.explode(buckets).alias("b"))
+        .groupBy("doc_id", "is_t", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+
+def dsir_fit(
+    docs: DataFrame, target_lang: str = "en", n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(b, lrq) — the fitted DSIR importance model: per-bucket add-1
+    smoothed log-ratio ln p_target[b] − ln p_raw[b], quantized ONCE to
+    integer micro-nats (BIGINT) so downstream per-doc sums are exact and
+    order-insensitive.  The n_buckets-row distribution aggregate is
+    eagerly localCheckpoint'ed (NOT persist() — cache entries leak per
+    call, CLAUDE.md r4), so the fit costs exactly ONE corpus scan and the
+    returned plan reads an ExistingRDD: without the pin, the totals
+    sub-aggregate and the ratio projection each re-derive the corpus
+    explode (measured: ReusedExchange does not fire across the three
+    consumers — 3 scans instead of 1)."""
+    dist = (
+        _dsir_doc_buckets(docs, target_lang, n_buckets)
+        .groupBy("b")
+        .agg(
+            F.sum("k").alias("cr"),
+            F.sum(F.when(F.col("is_t"), F.col("k")).otherwise(F.lit(0))).alias("ct"),
+        )
+        .localCheckpoint(eager=True)  # n_buckets rows
+    )
+    totals = dist.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    lr = F.log(
+        ((F.col("ct") + 1).cast("double") * (F.col("tr") + n_buckets))
+        / ((F.col("cr") + 1).cast("double") * (F.col("tt") + n_buckets))
+    )
+    return dist.crossJoin(F.broadcast(totals)).select(
+        "b", F.round(lr * F.lit(1000000.0), 0).cast("bigint").alias("lrq")
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    fit: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_feats, dsir_score) — Data Selection via Importance
+    Resampling (Xie et al. 2023): score every document by how much more
+    likely its hashed-n-gram profile is under the TARGET distribution
+    (here: ``lang = target_lang`` docs) than under the RAW corpus
+    distribution.  High scores = target-like; downstream selection keeps
+    the top mass (``dsir_topk``).
+
+    Features are the paper's hashed n-grams (see _dsir_doc_buckets);
+    both bag-of-buckets models are add-1 smoothed; log w(doc) =
+    Σ_b k_b·(ln p_target[b] − ln p_raw[b]).  Each bucket's log-ratio is
+    quantized once to integer micro-nats so the per-doc sum is an exact
+    BIGINT sum (same discipline as lm_bigram_score); dsir_score is a
+    SINGLE rounded expression.  Docs with no tokens have no features and
+    are excluded (mirrored in the oracle).
+
+    Plan shape (100 TB): two corpus scans total — one for the fit
+    (``dsir_fit``, pinned to a single scan via the checkpointed
+    n_buckets-row distribution table), one for scoring (feature explode →
+    per-doc bucket agg → BROADCAST join against the m-row model → one
+    doc_id agg).  No join is large×large; pass ``fit=`` to score many
+    corpora (or a stream) against one fitted model without refitting."""
+    if fit is None:
+        fit = dsir_fit(docs, target_lang=target_lang, n_buckets=n_buckets)
+    return (
+        _dsir_doc_buckets(docs, target_lang, n_buckets)
+        .join(F.broadcast(fit), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_feats"),
+            F.sum(F.col("k") * F.col("lrq")).alias("_sq"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.col("_sq").cast("double") / F.lit(1000000.0), 4).alias(
+                "dsir_score"
+            ),
+        )
+    )
+
+
+def dsir_topk(
+    docs: DataFrame,
+    k: int = 100,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    fit: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k DSIR selection — the deterministic variant of the paper's
+    Gumbel-noise resampling: keep the k highest-scoring docs, ties broken
+    by doc_id (exact in both engines — the sort key is the INTEGER
+    micro-nat score, so no float tie ambiguity).  Spark compiles the
+    orderBy+limit to TakeOrderedAndProject: O(k) state per partition plus
+    a k-row driver merge — no global sort at any scale."""
+    scored = dsir_scores(docs, target_lang=target_lang, n_buckets=n_buckets, fit=fit)
+    # dsir_score = _sq/1e6 rounded; sorting on (dsir_score, doc_id) is
+    # equivalent to sorting on the exact integer _sq except for round()
+    # collisions, which the doc_id tiebreak then resolves identically in
+    # both engines only if the rounded values equal — round() is
+    # monotonic, so order is preserved and parity holds.
+    return scored.orderBy(
+        F.col("dsir_score").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def dsir_topk_sql(
+    table: str = "documents",
+    k: int = 100,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    # mirrors _token_hashes + the unigram/bigram bucket digests bit-for-
+    # bit (same 60-bit md5 window and masked-shift rot20 as
+    # contamination_flags_sql); log-ratio quantized once to micro-nats
+    rot20 = f"((((h[i+1]) & {(1 << 40) - 1}) << 20) | ((h[i+1]) >> 40))"
+    return f"""
+WITH tokh AS (
+  SELECT doc_id, lang = '{target_lang}' AS is_t,
+         list_transform(list_filter(string_split(text, ' '), t -> t != ''),
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS h
+  FROM {table} WHERE text IS NOT NULL
+),
+feats AS (
+  SELECT doc_id, is_t,
+         unnest(list_concat(
+             list_transform(h, g -> g % {n_buckets}),
+             CASE WHEN len(h) >= 2
+              THEN list_transform(range(1, len(h)),
+                   i -> xor(h[i], {rot20}) % {n_buckets})
+              ELSE [] END)) AS b
+  FROM tokh
+),
+doc_b AS (
+  SELECT doc_id, is_t, b, count(*) AS k FROM feats GROUP BY doc_id, is_t, b
+),
+dist AS (
+  SELECT b, CAST(sum(k) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN is_t THEN k ELSE 0 END) AS BIGINT) AS ct
+  FROM doc_b GROUP BY b
+),
+totals AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+  FROM dist
+),
+ratio AS (
+  SELECT b,
+         CAST(round(ln((CAST(ct + 1 AS DOUBLE) * (tr + {n_buckets}))
+                       / (CAST(cr + 1 AS DOUBLE) * (tt + {n_buckets})))
+                    * 1000000.0) AS BIGINT) AS lrq
+  FROM dist CROSS JOIN totals
+),
+scored AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats,
+         round(CAST(CAST(sum(k * lrq) AS BIGINT) AS DOUBLE) / 1000000.0, 4)
+           AS dsir_score
+  FROM doc_b JOIN ratio USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_feats, dsir_score
+FROM scored
+ORDER BY dsir_score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def seq_pack_sql(
     table: str = "documents",
     max_tokens: int = PACK_MAX_TOKENS,

@@ -51,8 +51,12 @@ def _docs(spark, d):
         (traindata.pii_scrub, traindata.pii_scrub_sql()),
         (traindata.contamination_flags, traindata.contamination_flags_sql()),
         (traindata.seq_pack, traindata.seq_pack_sql()),
+        (
+            lambda docs: traindata.dsir_topk(docs, k=8, n_buckets=64),
+            traindata.dsir_topk_sql(k=8, n_buckets=64),
+        ),
     ],
-    ids=["pii_scrub", "contamination_3gram", "seq_pack"],
+    ids=["pii_scrub", "contamination_3gram", "seq_pack", "dsir_select"],
 )
 def test_crafted_corpus_matches_oracle(fn, sql, spark, td_dir, td_duck):
     qdf = fn(_docs(spark, td_dir))
@@ -153,4 +157,58 @@ def test_contamination_plan_broadcasts_benchmark(spark, td_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+_DSIR_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _dsir_corpus(spark):
+    rows = [(i, "alpha beta gamma delta", "en", "s", 22) for i in range(10)]
+    rows += [(i, "zeta eta theta iota", "de", "s", 19) for i in range(10, 20)]
+    rows.append((100, "alpha beta gamma delta", "de", "s", 22))  # target-like
+    rows.append((101, "zeta eta theta iota", "de", "s", 19))  # raw-like
+    rows.append((102, None, "en", "s", 0))  # null text: excluded
+    rows.append((103, "", "en", "s", 0))  # zero tokens: no features
+    return spark.createDataFrame(rows, _DSIR_SCHEMA)
+
+
+def test_dsir_semantics(spark):
+    """DSIR (Xie et al. 2023): a non-target doc whose hashed-n-gram
+    profile matches the target distribution outscores one that matches
+    only the raw distribution; identical text ⇒ identical score
+    (lang does not enter the per-doc features, only the fit)."""
+    docs = _dsir_corpus(spark)
+    out = {r["doc_id"]: r for r in traindata.dsir_scores(docs, n_buckets=32).collect()}
+    assert out[100]["dsir_score"] > out[101]["dsir_score"]
+    assert out[100]["dsir_score"] == out[0]["dsir_score"]
+    assert out[101]["dsir_score"] == out[10]["dsir_score"]
+    # featureless docs are excluded, not scored 0
+    assert 102 not in out and 103 not in out
+    # n_feats = unigrams + bigrams = 2*len - 1
+    assert out[0]["n_feats"] == 7 and out[10]["n_feats"] == 7
+
+
+def test_dsir_topk_selection_and_ties(spark):
+    """Top-k keeps every target-profile doc (the 10 en + the en-like de
+    doc) before any raw-profile doc; within a score tie the doc_id
+    tiebreak is ascending — deterministic in both engines because the
+    sort key is derived from the exact integer micro-nat sum."""
+    docs = _dsir_corpus(spark)
+    picked = traindata.dsir_topk(docs, k=11, n_buckets=32).collect()
+    ids = [r["doc_id"] for r in picked]
+    assert set(ids) == set(range(10)) | {100}
+    # tie group (identical text) must come out doc_id-ascending
+    assert ids == sorted(ids, key=lambda i: (0 if i < 10 or i == 100 else 1, i))
+
+
+def test_dsir_topk_plan_is_take_ordered(spark):
+    """The selection compiles to TakeOrderedAndProject (O(k) per
+    partition + k-row driver merge), never a global Sort: the 100 TB
+    claim in the docstring is a plan property, not a hope."""
+    plan = (
+        traindata.dsir_topk(_dsir_corpus(spark), k=5, n_buckets=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
