@@ -29,6 +29,14 @@ Writes under --output:
     spans_cut/   span-dedup APPLIED: rewritten text + n_removed
     lm_scores/   per-doc bigram-LM nll/ppl (CCNet-style filter signal)
     index/bpe_pairs/ top BPE merge candidates (tokenizer-training prep)
+    lm_ppl/      per-doc CCNet head/middle/tail perplexity bucket
+    mixture/     per-source temperature-scaled sampling weights
+    index/bpe_merges/ the learned K-merge BPE table (training loop)
+    dsir_fit/    the fitted DSIR importance model (m-row log-ratio table,
+                 written once; selection + streams score against it)
+    dsir/        per-doc DSIR importance scores
+    semantic/    SemDeDup components over the embeddings table
+                 (written when the sibling embeddings.parquet exists)
 
 Plan shape: clean is ONE shuffle (see textops.corpus_clean); stats is a
 256-row register shuffle; each index build is one token-key shuffle. The
@@ -136,6 +144,39 @@ def main(argv: list[str] | None = None) -> int:
     corpus_stats.bpe_top_pairs(docs).write.mode("overwrite").parquet(
         os.path.join(args.output, "index", "bpe_pairs")
     )
+
+    # r7 ops: CCNet perplexity buckets over the LM scores, temperature-
+    # scaled mixture weights, the K-merge BPE training loop, and DSIR
+    # selection — the fitted m-row model is WRITTEN ONCE (dsir_fit/) and
+    # the selection pass (plus any later corpus or stream) scores against
+    # it, mirroring the span_digests materialize-once discipline.
+    corpus_stats.lm_ppl_buckets(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "lm_ppl")
+    )
+    textops.mixture_weights(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "mixture")
+    )
+    corpus_stats.bpe_merges(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "index", "bpe_merges")
+    )
+    traindata.dsir_fit(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "dsir_fit")
+    )
+    dsir_model = spark.read.parquet(os.path.join(args.output, "dsir_fit"))
+    traindata.dsir_scores(docs, fit=dsir_model).write.mode("overwrite").parquet(
+        os.path.join(args.output, "dsir")
+    )
+
+    # SemDeDup needs the embeddings table; present in --sf-dir runs,
+    # optional when --input points at a bare documents parquet
+    emb_path = f"{args.sf_dir}/embeddings.parquet"
+    if args.input is None and os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+        from deepseek_ocr_spark.operators import similarity
+
+        similarity.dedup_semantic(emb).write.mode("overwrite").parquet(
+            os.path.join(args.output, "semantic")
+        )
 
     n_clean = spark.read.parquet(os.path.join(args.output, "clean")).count()
     stats = spark.read.parquet(os.path.join(args.output, "stats")).head()

@@ -25,7 +25,9 @@ def test_run_corpus_pipeline_job(spark, tmp_path):
 
     for sink in ("clean", "stats", "quality", "bands", "index/tfidf",
                  "index/postings", "pii", "contamination", "packing",
-                 "span_digests", "spans_cut", "lm_scores", "index/bpe_pairs"):
+                 "span_digests", "spans_cut", "lm_scores", "index/bpe_pairs",
+                 "lm_ppl", "mixture", "index/bpe_merges", "dsir_fit",
+                 "dsir", "semantic"):
         df = spark.read.parquet(os.path.join(out, sink))
         assert df.count() > 0, sink
 
