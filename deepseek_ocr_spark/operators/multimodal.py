@@ -33,10 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Format matrix (r7): PNG / JPEG (baseline + progressive + arithmetic,
-# SOF0/1/2/9/10) / GIF / BMP (all depths + RLE) = NATIVE pixels (stdlib
-# kernels); lossless/hierarchical/12-bit JPEG and formats outside the
-# matrix (WEBP/TIFF) = header metadata where sniffable, pixels via the
-# PIL gate; audio = native WAV
+# SOF0/1/2/9/10) / GIF / BMP (all depths + RLE) / TIFF (strips + tiles,
+# none/LZW/Deflate/PackBits/JPEG-in-TIFF, predictor 2) = NATIVE pixels
+# (stdlib kernels); lossless/hierarchical/12-bit JPEG, CCITT/16-bit/
+# planar TIFF and formats outside the matrix (WEBP) = header metadata
+# where sniffable, pixels via the PIL gate; audio = native WAV
 # build/parse/features (kernels/wav.py); video = native MP4 box-tree
 # metadata (kernels/mp4.py), frame decode via ffmpeg gate.
 
@@ -79,6 +80,14 @@ def _real_decode(data: bytes) -> tuple[int, int, int]:
             return w, h, c
         except NotImplementedError:
             pass  # lossless / hierarchical / 12-bit — PIL gate
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from deepseek_ocr_spark.kernels import tiff
+
+        try:
+            w, h, c, _buf = tiff.decode_tiff(data)
+            return w, h, c
+        except NotImplementedError:
+            pass  # CCITT / 16-bit / planar — PIL gate
     try:
         from PIL import Image as _PILImage
     except ImportError as e:
@@ -149,9 +158,34 @@ def sniff_image_meta(data: bytes) -> tuple[str, int, int, int] | None:
             )
         if data[:2] == b"\xff\xd8":
             return _jpeg_meta(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            return _tiff_meta(data)
     except Exception:
         return None
     return None
+
+
+def _tiff_meta(data: bytes) -> tuple[str, int, int, int] | None:
+    """Dims from IFD0 tags 256/257 (SHORT or LONG), orientation from tag
+    0x0112 via the shared EXIF walker (a TIFF header IS an EXIF body)."""
+    bo = "little" if data[:2] == b"II" else "big"
+    ifd0 = int.from_bytes(data[4:8], bo)
+    count = int.from_bytes(data[ifd0 : ifd0 + 2], bo)
+    width = height = None
+    for k in range(count):
+        off = ifd0 + 2 + 12 * k
+        tag = int.from_bytes(data[off : off + 2], bo)
+        if tag in (256, 257):
+            typ = int.from_bytes(data[off + 2 : off + 4], bo)
+            size = 2 if typ == 3 else 4
+            val = int.from_bytes(data[off + 8 : off + 8 + size], bo)
+            if tag == 256:
+                width = val
+            else:
+                height = val
+    if not width or not height:
+        return None
+    return "tiff", width, height, _exif_orientation(data) or 1
 
 
 def _jpeg_meta(data: bytes) -> tuple[str, int, int, int] | None:
