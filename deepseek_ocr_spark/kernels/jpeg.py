@@ -30,11 +30,15 @@ FROM the image's own symbol frequencies (the jchuff.c optimal-table
 algorithm) — no memorized standard Huffman tables to get subtly wrong,
 and smaller files than the fixed tables.
 
-Lossless/hierarchical processes, 12-bit precision and >2 sampling
-factors raise NotImplementedError — callers fall back to the PIL codec
-gate exactly as before this module existed.  (PIL cannot decode the
-arithmetic processes at all, so the SOF9/SOF10 lanes EXCEED the
-reference pipeline's codec surface.)
+LOSSLESS (SOF3, r7) is also native — Annex H predictors 1-7, point
+transform, 2-16-bit precision, per-component or interleaved scans,
+row-aligned restarts; full precision via ``decode_jpeg_lossless``, 8-bit
+display mapping via ``decode_jpeg``.  Hierarchical processes, 12-bit
+DCT precision and >2 sampling factors raise NotImplementedError —
+callers fall back to the PIL codec gate exactly as before this module
+existed.  (PIL cannot decode the arithmetic OR lossless processes at
+all, so the SOF9/SOF10/SOF3 lanes EXCEED the reference pipeline's codec
+surface.)
 
 Scale shape: this kernel runs inside Arrow-batched mapInPandas stages
 (operators/vision.py, operators/multimodal.py) — per-image work,
@@ -358,8 +362,9 @@ def _decode_jpeg_checked(data: bytes) -> Image:
     (grayscale) or 3 (RGB from YCbCr).  Handles baseline/extended
     sequential (SOF0/SOF1) AND progressive (SOF2, r5 — spectral selection,
     successive approximation, EOB runs; the jdphuff.c scan semantics).
-    ValueError on corrupt data, NotImplementedError on arithmetic-coded /
-    lossless / 12-bit streams (the PIL codec gate covers those)."""
+    ValueError on corrupt data, NotImplementedError on hierarchical /
+    12-bit-DCT streams (the PIL codec gate covers those); arithmetic
+    (SOF9/SOF10) and lossless (SOF3) streams decode natively."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -433,7 +438,9 @@ def _decode_jpeg_checked(data: bytes) -> Image:
                 comps.append(comp)
             if progressive:
                 _alloc_blocks(comps, width, height)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker == 0xC3:  # SOF3 lossless (r7) — dedicated parser
+            return _lossless_to_image(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG process (SOF marker 0x{marker:02x}) — "
@@ -1071,6 +1078,232 @@ def _prog_scan_arith(
                         dec, stats[c.ta], fixed, block, ss, se, al, kex
                     )
     return _next_marker_pos(data, dec.pos)
+
+
+# --- lossless process (SOF3, T.81 Annex H) -----------------------------------
+
+#: Annex H.1.2.1 predictor selections: a = Ra (left), b = Rb (above),
+#: c = Rc (above-left).  Python's // and >> are arithmetic (floor) on
+#: negative ints, matching the spec's integer divide-by-two.
+_LL_PREDICT = {
+    1: lambda a, b, c: a,
+    2: lambda a, b, c: b,
+    3: lambda a, b, c: c,
+    4: lambda a, b, c: a + b - c,
+    5: lambda a, b, c: a + ((b - c) >> 1),
+    6: lambda a, b, c: b + ((a - c) >> 1),
+    7: lambda a, b, c: (a + b) >> 1,
+}
+
+
+def decode_jpeg_lossless(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Decode a lossless (SOF3, process 14) JPEG at FULL precision →
+    ``(width, height, ncomp, precision, samples)`` with ``samples`` a
+    uint16 array of shape (height, width, ncomp), point transform already
+    undone (values multiplied back by 2^Pt, Annex H.2.2).
+
+    The reference pipeline's PIL loader cannot decode SOF3 at all, so —
+    like the SOF9/SOF10 arithmetic lanes — this EXCEEDS the reference
+    codec surface rather than reproducing a library.  The in-sandbox spec
+    is the independent encoder transcription in
+    tests/test_jpeg_lossless.py (T.81 Annex H prediction + difference
+    coding written from the spec text), which must round-trip bit-exactly
+    through this decoder; change both together or not at all.
+
+    Supported: precision 2–16, predictors 1–7, point transform,
+    grayscale / 3-component (1x1 sampling when interleaved), single- or
+    per-component scans, row-aligned restart intervals.  Components are
+    emitted VERBATIM (lossless JPEG carries no subsampled YCbCr; DNG-style
+    payloads keep their own color meaning).  Hostile-input contract
+    mirrors ``decode_jpeg``: ValueError only.
+    """
+    try:
+        return _decode_lossless_checked(data)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _lossless_to_image(data: bytes) -> Image:
+    """8-bit Image-tuple view of a lossless stream (the decode_jpeg lane):
+    precision 8 is verbatim; deeper samples keep their top 8 bits
+    (val >> (P-8)); shallower samples are left-shifted to full byte
+    range — a deterministic display mapping, full precision via
+    decode_jpeg_lossless."""
+    w, h, ncomp, prec, arr = _decode_lossless_checked(data)
+    if prec == 8:
+        buf = arr.astype(np.uint8)
+    elif prec < 8:
+        buf = (arr << (8 - prec)).astype(np.uint8)
+    else:
+        buf = (arr >> (prec - 8)).astype(np.uint8)
+    return (w, h, ncomp, buf.tobytes())
+
+
+def _decode_lossless_checked(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    dc_tabs: dict[int, _Huff] = {}
+    comps: list[_Component] = []
+    planes: dict[int, list[list[int]]] = {}  # cid -> rows of reconstructed values
+    pts: dict[int, int] = {}  # cid -> point transform of the scan that wrote it
+    decoded: set[int] = set()
+    width = height = prec = 0
+    restart_interval = 0
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC3:
+            prec = seg[0]
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad lossless precision {prec}")
+            height, width = struct.unpack(">HH", seg[1:5])
+            if width * height > 1 << 28:
+                raise ValueError("JPEG dims exceed sanity bound")
+            if not width or not height:
+                raise ValueError("zero-dimension lossless JPEG")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component lossless JPEG")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, _tq = seg[6 + 3 * c : 9 + 3 * c]
+                comp = _Component(cid, hv >> 4, hv & 15, 0)
+                if ncomp > 1 and (comp.h, comp.v) != (1, 1):
+                    raise NotImplementedError(
+                        "subsampled multi-component lossless JPEG"
+                    )
+                comps.append(comp)
+                planes[cid] = [[0] * width for _ in range(height)]
+        elif marker == 0xC4:  # DHT — lossless uses DC-class tables only
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = bytes(seg[i + 17 : i + 17 + n])
+                if tc == 0:
+                    dc_tabs[th] = _Huff(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF3")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next((x for x in comps if x.cid == cs), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                comp.td = tdta >> 4
+                if comp.td not in dc_tabs:
+                    raise ValueError(f"SOS references missing DC table {comp.td}")
+                scan.append(comp)
+            psel, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            pt = ahal & 15
+            if not 1 <= psel <= 7:
+                raise ValueError(f"bad lossless predictor {psel}")
+            if se != 0 or (ahal >> 4) != 0:
+                raise ValueError("bad lossless scan header (Se/Ah)")
+            if pt >= prec:
+                raise ValueError("point transform >= precision")
+            pos = _lossless_scan(
+                data, pos + 2 + seglen, scan, planes, dc_tabs,
+                prec, psel, pt, restart_interval, width, height,
+            )
+            for c in scan:
+                decoded.add(c.cid)
+                pts[c.cid] = pt
+            continue
+        pos += 2 + seglen
+
+    if not comps or decoded != {c.cid for c in comps}:
+        raise ValueError("lossless stream missing scans for some components")
+    out = np.zeros((height, width, len(comps)), np.uint16)
+    for k, c in enumerate(comps):
+        arr = np.array(planes[c.cid], np.uint32)
+        out[:, :, k] = ((arr << pts[c.cid]) & 0xFFFF).astype(np.uint16)
+    return (width, height, len(comps), prec, out)
+
+
+def _lossless_scan(
+    data: bytes,
+    pos: int,
+    scan: list[_Component],
+    planes: dict[int, list[list[int]]],
+    dc_tabs: dict[int, _Huff],
+    prec: int,
+    psel: int,
+    pt: int,
+    restart_interval: int,
+    width: int,
+    height: int,
+) -> int:
+    """Decode one lossless scan (interleaved over all its components —
+    with 1x1 sampling an MCU is one sample per component, A.2.3) into
+    the reconstructed-sample planes; returns the offset of the marker
+    following the scan.
+
+    Restart intervals are supported when row-aligned (a multiple of the
+    samples-per-line MCU count): T.81 H.2.3 resets prediction at each
+    restart exactly as at the start of the scan, so the restart row is
+    treated as a first line (default-predicted first sample, then Ra).
+    Mid-row restarts would leave the 2-D predictors' upper neighbours
+    crossing the reset boundary — rejected rather than guessed.
+
+    Entropy decoding is bit-serial and the 2-D predictors carry a
+    left+above wavefront dependency, so this stays a per-sample Python
+    loop (same standing as the Huffman block loops); the lane is a codec
+    gate, not a hot path — Arrow-batched callers parallelize per image.
+    """
+    if restart_interval and restart_interval % width != 0:
+        raise NotImplementedError(
+            "non-row-aligned lossless restart interval"
+        )
+    default = 1 << (prec - pt - 1)
+    predict = _LL_PREDICT[psel]
+    tabs = [dc_tabs[c.td] for c in scan]
+    rows = [planes[c.cid] for c in scan]
+    reader = _BitReader(data, pos)
+    mcu = 0
+    rst = 0
+    top = 0  # row index where prediction last reset (scan start / restart)
+    for r in range(height):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.restart(rst)
+            rst = (rst + 1) & 7
+            top = r
+        cur = [rows[k][r] for k in range(len(scan))]
+        prev = [rows[k][r - 1] for k in range(len(scan))] if r else None
+        first_line = r == top
+        for cx in range(width):
+            for k in range(len(scan)):
+                if first_line:
+                    px = default if cx == 0 else cur[k][cx - 1]
+                elif cx == 0:
+                    px = prev[k][0]
+                else:
+                    px = predict(cur[k][cx - 1], prev[k][cx], prev[k][cx - 1])
+                t = reader.decode(tabs[k])
+                if t > 16:
+                    raise ValueError(f"bad lossless difference category {t}")
+                diff = 32768 if t == 16 else _extend(reader.receive(t), t)
+                cur[k][cx] = (px + diff) & 0xFFFF
+            mcu += 1
+    return _next_marker_pos(data, reader.pos)
 
 
 # --- encoder -----------------------------------------------------------------

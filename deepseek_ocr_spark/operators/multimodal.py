@@ -32,14 +32,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Format matrix (r7): PNG / JPEG (baseline + progressive + arithmetic,
-# SOF0/1/2/9/10) / GIF / BMP (all depths + RLE) / TIFF (strips + tiles,
-# none/LZW/Deflate/PackBits/JPEG-in-TIFF, predictor 2) = NATIVE pixels
-# (stdlib kernels); lossless/hierarchical/12-bit JPEG, CCITT/16-bit/
-# planar TIFF and formats outside the matrix (WEBP) = header metadata
-# where sniffable, pixels via the PIL gate; audio = native WAV
-# build/parse/features (kernels/wav.py); video = native MP4 box-tree
-# metadata (kernels/mp4.py), frame decode via ffmpeg gate.
+# Format matrix (r7): PNG / JPEG (baseline + progressive + arithmetic +
+# lossless, SOF0/1/2/3/9/10) / GIF / BMP (all depths + RLE) / TIFF
+# (strips + tiles, none/LZW/Deflate/PackBits/JPEG-in-TIFF, predictor 2)
+# = NATIVE pixels (stdlib kernels); hierarchical/12-bit-DCT JPEG,
+# CCITT/16-bit/planar TIFF and formats outside the matrix (WEBP) =
+# header metadata where sniffable, pixels via the PIL gate; audio =
+# native WAV build/parse/features (kernels/wav.py); video = native MP4
+# box-tree metadata (kernels/mp4.py), frame decode via ffmpeg gate.
 
 
 def codecs_available() -> bool:
@@ -55,9 +55,9 @@ def codecs_available() -> bool:
 
 def _real_decode(data: bytes) -> tuple[int, int, int]:
     """Real pixel decode: PNG, JPEG (baseline + progressive +
-    arithmetic-coded, r7), GIF and BMP (1/4/8/24/32-bit, RLE8, RLE4) via
-    the stdlib kernels; lossless/hierarchical/12-bit JPEG and exotic
-    headers via PIL when present, else a clear NotImplementedError
+    arithmetic-coded + lossless, r7), GIF and BMP (1/4/8/24/32-bit,
+    RLE8, RLE4) via the stdlib kernels; hierarchical/12-bit-DCT JPEG and
+    exotic headers via PIL when present, else a clear NotImplementedError
     (metadata for those still comes from sniff_image_meta)."""
     from deepseek_ocr_spark.kernels import bmp, gif, jpeg, pixels
 
@@ -79,7 +79,7 @@ def _real_decode(data: bytes) -> tuple[int, int, int]:
             w, h, c, _buf = jpeg.decode_jpeg(data)
             return w, h, c
         except NotImplementedError:
-            pass  # lossless / hierarchical / 12-bit — PIL gate
+            pass  # hierarchical / 12-bit DCT — PIL gate
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         from deepseek_ocr_spark.kernels import tiff
 

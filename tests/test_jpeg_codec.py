@@ -1,9 +1,10 @@
-"""JPEG lane of the non-PNG pixel path.  Baseline (r5), progressive (r5)
-and arithmetic-coded (r7, kernels/jparith.py) decode are all REAL
-in-sandbox, so the decode tests here run UN-skipped; the codec gate
-(NotImplementedError naming the missing codec) now covers only
-lossless/hierarchical/12-bit JPEG and out-of-matrix formats (WEBP/TIFF).
-PIL cross-parity lives in tests/test_jpeg_kernel.py's codec-present
+"""JPEG lane of the non-PNG pixel path.  Baseline (r5), progressive
+(r5), arithmetic-coded (r7, kernels/jparith.py) and lossless (r7,
+SOF3) decode are all REAL in-sandbox, so the decode tests here run
+UN-skipped; the codec gate (NotImplementedError naming the missing
+codec) now covers only hierarchical/12-bit-DCT JPEG, exotic TIFF
+(CCITT/16-bit/planar) and out-of-matrix formats (WEBP).  PIL
+cross-parity lives in tests/test_jpeg_kernel.py's codec-present
 lane."""
 
 import importlib.util
@@ -75,12 +76,13 @@ def test_encode_jpeg_drops_alpha():
     assert jpeg_kernel.decode_jpeg(data)[:3] == (12, 9, 1)
 
 
-def _lossless_stub() -> bytes:
-    """Minimal SOF3 (lossless) stream — enough to reach the SOF.  (SOF9
-    arithmetic is NATIVE since r7 and no longer gate-relevant.)"""
+def _hierarchical_stub() -> bytes:
+    """Minimal SOF5 (hierarchical) stream — enough to reach the SOF.
+    (SOF9 arithmetic and SOF3 lossless are NATIVE since r7 and no longer
+    gate-relevant.)"""
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    out += struct.pack(">BBH", 0xFF, 0xC3, len(sof) + 2) + sof
+    out += struct.pack(">BBH", 0xFF, 0xC5, len(sof) + 2) + sof
     return bytes(out)
 
 
@@ -88,16 +90,17 @@ def _lossless_stub() -> bytes:
     _HAS_PIL, reason="codec present — the gate path is for codec-less environments"
 )
 def test_codec_gate_raises_clearly_without_codec():
-    """The narrowed sandbox gate: LOSSLESS/hierarchical JPEG and formats
-    outside the native matrix (e.g. WEBP/TIFF) still need a native codec
-    and raise a NotImplementedError naming it (PNG / every DCT JPEG
-    process incl. arithmetic / GIF / BMP incl. RLE are all native as of
-    r7); corrupt streams raise ValueError (a decoder error, not a gate)."""
+    """The narrowed sandbox gate: HIERARCHICAL JPEG and formats outside
+    the native matrix (e.g. WEBP) still need a native codec and raise a
+    NotImplementedError naming it (PNG / every non-hierarchical 8-bit
+    JPEG process incl. arithmetic and lossless / GIF / BMP incl. RLE /
+    mainstream TIFF are all native as of r7); corrupt streams raise
+    ValueError (a decoder error, not a gate)."""
     from deepseek_ocr_spark.operators.multimodal import _real_decode, codecs_available
 
     assert not codecs_available()
     with pytest.raises(NotImplementedError, match="native codec"):
-        _real_decode(_lossless_stub())
+        _real_decode(_hierarchical_stub())
     with pytest.raises(NotImplementedError, match="native codec"):
         _real_decode(b"RIFF\x00\x00\x00\x00WEBPVP8 " + bytes(20))
     with pytest.raises(ValueError):

@@ -372,15 +372,16 @@ def test_partial_mcu_crop():
     assert set(buf) == {138}
 
 
-def test_lossless_coded_raises_not_implemented():
-    """SOF3 (lossless) stays behind the codec gate; arithmetic SOF9/SOF10
-    are handled natively since r7 (tests/test_jparith.py), progressive
-    SOF2 since r5 (tests/test_jpeg_progressive.py)."""
+def test_hierarchical_coded_raises_not_implemented():
+    """SOF5 (hierarchical) stays behind the codec gate; arithmetic
+    SOF9/SOF10 are handled natively since r7 (tests/test_jparith.py),
+    lossless SOF3 since r7 too (tests/test_jpeg_lossless.py),
+    progressive SOF2 since r5 (tests/test_jpeg_progressive.py)."""
     q = [16] * 64
     base = bytearray(b"\xff\xd8")
     zz = bytes(q[ZIGZAG[k]] for k in range(64))
     base += _seg(0xDB, bytes([0]) + zz)
-    base += _seg(0xC3, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    base += _seg(0xC5, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(base))
 
