@@ -35,11 +35,12 @@ from pyspark.sql import types as T
 # Format matrix (r7): PNG / JPEG (baseline + progressive + arithmetic +
 # lossless, SOF0/1/2/3/9/10) / GIF / BMP (all depths + RLE) / TIFF
 # (strips + tiles, none/LZW/Deflate/PackBits/JPEG-in-TIFF, predictor 2)
+# / WebP lossless (VP8L: all transforms, color cache, LZ77, meta codes)
 # = NATIVE pixels (stdlib kernels); hierarchical/12-bit-DCT JPEG,
-# CCITT/16-bit/planar TIFF and formats outside the matrix (WEBP) =
-# header metadata where sniffable, pixels via the PIL gate; audio =
-# native WAV build/parse/features (kernels/wav.py); video = native MP4
-# box-tree metadata (kernels/mp4.py), frame decode via ffmpeg gate.
+# CCITT/16-bit/planar TIFF and lossy WebP (VP8) = header metadata where
+# sniffable, pixels via the PIL gate; audio = native WAV
+# build/parse/features (kernels/wav.py); video = native MP4 box-tree
+# metadata (kernels/mp4.py), frame decode via ffmpeg gate.
 
 
 def codecs_available() -> bool:
@@ -88,6 +89,14 @@ def _real_decode(data: bytes) -> tuple[int, int, int]:
             return w, h, c
         except NotImplementedError:
             pass  # CCITT / 16-bit / planar — PIL gate
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from deepseek_ocr_spark.kernels import webp
+
+        try:
+            w, h, c, _buf = webp.decode_webp(data)
+            return w, h, c
+        except NotImplementedError:
+            pass  # lossy VP8 — PIL/native gate
     try:
         from PIL import Image as _PILImage
     except ImportError as e:
@@ -160,6 +169,12 @@ def sniff_image_meta(data: bytes) -> tuple[str, int, int, int] | None:
             return _jpeg_meta(data)
         if data[:4] in (b"II*\x00", b"MM\x00*"):
             return _tiff_meta(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            from deepseek_ocr_spark.kernels.webp import webp_meta
+
+            meta = webp_meta(data)
+            if meta is not None:
+                return ("webp", meta[0], meta[1], 1)
     except Exception:
         return None
     return None
