@@ -13,17 +13,24 @@ accepts that we did not decode natively.  Supported:
   (Deflate/zlib), 32773 (PackBits), and 7 (new-style JPEG: strips are
   JPEG streams, abbreviated streams re-joined with the shared
   ``JPEGTables`` segment body and routed through kernels/jpeg.py)
-- Predictor 2 (horizontal differencing, 8-bit samples)
-- PhotometricInterpretation 0/1 (bilevel + gray at 1/4/8 bits, WhiteIsZero
-  inverted), 2 (RGB / RGB+alpha at 8 bits), 3 (palette, 16-bit ColorMap
+- Predictor 2 (horizontal differencing, 8- and 16-bit samples)
+- PhotometricInterpretation 0/1 (bilevel + gray at 1/4/8/16 bits,
+  WhiteIsZero inverted), 2 (RGB / RGB+alpha at 8 or 16 bits, 16-bit
+  displayed via the top-8-bits rule), 3 (palette, 16-bit ColorMap
   entries scaled ``>> 8``), 6 (YCbCr — only under Compression 7, where
   the JPEG kernel already emits RGB)
+- PlanarConfiguration 2 (per-plane strip sets, RGB strips), and
+  FillOrder 2 (LSB-first file bytes, reversed before any parsing)
+- Compression 2/3/4 (CCITT Modified Huffman / Group 3 / Group 4 fax via
+  kernels/fax.py — the scanned-document workhorse; strips, both
+  photometrics, FillOrder 2)
 
-Out-of-matrix variants (CCITT fax, old-style JPEG 6, 16-bit samples,
-planar, FillOrder 2, float predictor) raise NotImplementedError — the
-callers' PIL codec gate covers those; corrupt input raises ValueError
-only (the drop-rule contract shared with the JPEG/GIF/BMP/MP4 kernels).
-Dims are sanity-bounded at 1<<28 pixels like the sibling kernels.
+Out-of-matrix variants (old-style JPEG 6, float samples / predictor 3,
+planar or fax tiles, fax uncompressed mode) raise NotImplementedError —
+the callers' PIL codec gate covers those; corrupt input raises
+ValueError only (the drop-rule contract shared with the
+JPEG/GIF/BMP/MP4 kernels).  Dims are sanity-bounded at 1<<28 pixels
+like the sibling kernels.
 """
 
 from __future__ import annotations
@@ -184,12 +191,28 @@ def _jpeg_segment(strip: bytes, jpeg_tables: bytes | None) -> bytes:
     return strip
 
 
-def _expand_bits(raw: bytes, width: int, height: int, bits: int) -> np.ndarray:
-    """(h, w) uint8 sample plane from a row-padded packed buffer."""
+# FillOrder 2: bits within each byte are stored LSB-first — reverse every
+# byte before any further parsing (libtiff's TIFFReverseBits, applied to
+# the raw chunk so LZW/packed codes read MSB-first afterwards).  LUT
+# generated, not memorized.
+_REV = np.array(
+    [int(f"{b:08b}"[::-1], 2) for b in range(256)], np.uint8
+)
+
+
+def _expand_bits(
+    raw: bytes, width: int, height: int, bits: int, bo: str = "<"
+) -> np.ndarray:
+    """(h, w) sample plane from a row-padded packed buffer — uint8 for
+    bits ≤ 8, uint16 (file byte order) for bits == 16."""
     row_bytes = (width * bits + 7) // 8
     need = row_bytes * height
     if len(raw) < need:
         raise ValueError("TIFF strip shorter than raster")
+    if bits == 16:
+        return np.frombuffer(raw[:need], np.dtype(bo + "u2")).reshape(
+            height, row_bytes // 2
+        )[:, :width].astype(np.uint16)
     arr = np.frombuffer(raw[:need], np.uint8).reshape(height, row_bytes)
     if bits == 8:
         return arr[:, :width]
@@ -207,10 +230,11 @@ def _expand_bits(raw: bytes, width: int, height: int, bits: int) -> np.ndarray:
 
 
 def _undo_predictor(plane: np.ndarray, spp: int) -> np.ndarray:
-    """Predictor 2 (horizontal differencing) over (h, w*spp) uint8 rows."""
+    """Predictor 2 (horizontal differencing) over (h, w*spp) rows —
+    modular accumulate in the plane's own width (uint8 or uint16)."""
     h, total = plane.shape
     arr = plane.reshape(h, total // spp, spp)
-    return np.add.accumulate(arr, axis=1, dtype=np.uint8).reshape(h, total)
+    return np.add.accumulate(arr, axis=1, dtype=plane.dtype).reshape(h, total)
 
 
 def _decode_checked(data: bytes) -> Image:
@@ -239,25 +263,36 @@ def _decode_checked(data: bytes) -> Image:
     if len(set(bits_list)) != 1:
         raise NotImplementedError("mixed BitsPerSample")
     bits = bits_list[0]
-    if bits not in (1, 4, 8):
+    if bits not in (1, 4, 8, 16):
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
     comp = one(259, 1)
     photo = one(262, 1)
-    if one(284, 1) != 1:
-        raise NotImplementedError("planar TIFF not supported")
-    if one(266, 1) != 1:
-        raise NotImplementedError("FillOrder 2 not supported")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"bad PlanarConfiguration {planar}")
+    fillorder = one(266, 1)
+    if fillorder not in (1, 2):
+        raise ValueError(f"bad FillOrder {fillorder}")
     if one(339, 1) != 1:
         raise NotImplementedError("non-uint TIFF samples not supported")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
-    if predictor == 2 and bits != 8:
+    if predictor == 2 and bits not in (8, 16):
         raise NotImplementedError("predictor 2 on sub-byte samples")
     if comp == 6:
         raise NotImplementedError("old-style JPEG-in-TIFF not supported")
-    if comp in (2, 3, 4, 32771):
-        raise NotImplementedError("CCITT-compressed TIFF not supported")
+    if comp == 32771:
+        raise NotImplementedError("word-aligned CCITT RLE not supported")
+    if comp in (2, 3, 4):
+        if bits != 1 or spp != 1 or photo not in (0, 1) or planar == 2:
+            raise NotImplementedError("CCITT TIFF outside bilevel chunky")
+        if comp == 3 and one(292, 0) & 2:
+            raise NotImplementedError("G3 uncompressed mode not supported")
+        if comp == 4 and one(293, 0) & 2:
+            raise NotImplementedError("G4 uncompressed mode not supported")
+    if bits == 16 and photo not in (0, 1, 2):
+        raise NotImplementedError("16-bit TIFF outside gray/RGB")
     jpeg_tables = bytes(tags[347]) if 347 in tags else None
 
     tiled = 322 in tags or 324 in tags
@@ -274,14 +309,52 @@ def _decode_checked(data: bytes) -> Image:
         rps = min(max(rps, 1), height)
         offsets, counts = tags.get(273, []), tags.get(279, [])
         n_chunks = (height + rps - 1) // rps
-    if len(offsets) < n_chunks or len(counts) < n_chunks:
+    if planar == 2:
+        if tiled or comp == 7:
+            raise NotImplementedError("planar tiled/JPEG TIFF not supported")
+        if photo != 2 or spp not in (3, 4):
+            raise NotImplementedError("planar TIFF outside RGB")
+        if len(offsets) < n_chunks * spp or len(counts) < n_chunks * spp:
+            raise ValueError("TIFF strip tables shorter than planar layout")
+    elif len(offsets) < n_chunks or len(counts) < n_chunks:
         raise ValueError("TIFF strip/tile tables shorter than layout")
 
     def chunk_bytes(i: int) -> bytes:
         o, c = offsets[i], counts[i]
         if o + c > len(data) or c > (1 << 30):
             raise ValueError("TIFF strip/tile past EOF")
-        return data[o : o + c]
+        raw = data[o : o + c]
+        if fillorder == 2:
+            raw = _REV[np.frombuffer(raw, np.uint8)].tobytes()
+        return raw
+
+    if comp in (2, 3, 4):
+        if tiled:
+            raise NotImplementedError("tiled CCITT TIFF not supported")
+        from . import fax
+
+        rps = one(278, height)
+        rps = min(max(rps, 1), height)
+        plane = np.zeros((height, width), np.uint8)
+        g3_2d = bool(one(292, 0) & 1)
+        y0 = 0
+        for i in range(n_chunks):
+            rows = min(rps, height - y0)
+            chunk = chunk_bytes(i)
+            if comp == 2:
+                ink = fax.decode_mh(chunk, width, rows)
+            elif comp == 3:
+                ink = fax.decode_g3(chunk, width, rows, two_dim=g3_2d)
+            else:
+                ink = fax.decode_g4(chunk, width, rows)
+            # ink 1 = black; photometric 0 (white-is-zero, the fax
+            # default) inverts below like the raw-bilevel path
+            plane[y0 : y0 + rows] = ink if photo == 0 else 1 - ink
+            y0 += rows
+        plane = plane * np.uint8(255)
+        if photo == 0:
+            plane = np.uint8(255) - plane
+        return width, height, 1, plane.tobytes()
 
     if comp == 7:
         # JPEG chunks decode straight to interleaved 8-bit samples
@@ -319,24 +392,43 @@ def _decode_checked(data: bytes) -> Image:
                 y0 += rows
         return width, height, 3, out.tobytes()
 
+    dtype = np.uint16 if bits == 16 else np.uint8
     if photo in (0, 1, 3):
         if spp != 1:
             raise NotImplementedError("multi-sample gray/palette TIFF")
-        plane = np.zeros((height, width), np.uint8)
+        plane = np.zeros((height, width), dtype)
     elif photo == 2:
-        if bits != 8 or spp not in (3, 4):
+        if bits not in (8, 16) or spp not in (3, 4):
             raise NotImplementedError(f"RGB TIFF with bits={bits} spp={spp}")
-        plane = np.zeros((height, width * spp), np.uint8)
+        plane = np.zeros((height, width * spp), dtype)
     else:
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
 
     row_samples = width * spp if photo == 2 else width
-    if tiled:
+    if planar == 2:
+        # one full strip set per sample plane, recombined chunky
+        rps = one(278, height)
+        rps = min(max(rps, 1), height)
+        row_bytes = (width * bits + 7) // 8
+        for p in range(spp):
+            y0 = 0
+            for i in range(n_chunks):
+                rows = min(rps, height - y0)
+                raw = _decompress(
+                    comp, chunk_bytes(p * n_chunks + i), row_bytes * rows,
+                    jpeg_tables,
+                )
+                splane = _expand_bits(raw, width, rows, bits, bo)
+                if predictor == 2:
+                    splane = _undo_predictor(splane, 1)
+                plane[y0 : y0 + rows, p::spp] = splane
+                y0 += rows
+    elif tiled:
         tile_row_bytes = (tw * bits * (spp if photo == 2 else 1) + 7) // 8
         for idx in range(n_chunks):
             ty, tx = divmod(idx, tiles_x)
             raw = _decompress(comp, chunk_bytes(idx), tile_row_bytes * th, jpeg_tables)
-            tplane = _expand_bits(raw, tw * (spp if photo == 2 else 1), th, bits)
+            tplane = _expand_bits(raw, tw * (spp if photo == 2 else 1), th, bits, bo)
             if predictor == 2:
                 tplane = _undo_predictor(tplane, spp)
             y0, x0 = ty * th, tx * tw
@@ -352,12 +444,15 @@ def _decode_checked(data: bytes) -> Image:
         for i in range(n_chunks):
             rows = min(rps, height - y0)
             raw = _decompress(comp, chunk_bytes(i), row_bytes * rows, jpeg_tables)
-            splane = _expand_bits(raw, row_samples, rows, bits)
+            splane = _expand_bits(raw, row_samples, rows, bits, bo)
             if predictor == 2:
                 splane = _undo_predictor(splane, spp)
             plane[y0 : y0 + rows] = splane
             y0 += rows
 
+    if bits == 16:
+        # display mapping: top 8 bits (the lossless-JPEG/palette rule)
+        plane = (plane >> 8).astype(np.uint8)
     if photo == 2:
         return width, height, spp, plane.tobytes()
     if photo == 3:

@@ -34,13 +34,14 @@ from pyspark.sql import types as T
 
 # Format matrix (r7): PNG / JPEG (baseline + progressive + arithmetic +
 # lossless, SOF0/1/2/3/9/10) / GIF / BMP (all depths + RLE) / TIFF
-# (strips + tiles, none/LZW/Deflate/PackBits/JPEG-in-TIFF, predictor 2)
-# / WebP lossless (VP8L: all transforms, color cache, LZ77, meta codes)
-# = NATIVE pixels (stdlib kernels); hierarchical/12-bit-DCT JPEG,
-# CCITT/16-bit/planar TIFF and lossy WebP (VP8) = header metadata where
-# sniffable, pixels via the PIL gate; audio = native WAV
-# build/parse/features (kernels/wav.py); video = native MP4 box-tree
-# metadata (kernels/mp4.py), frame decode via ffmpeg gate.
+# (strips + tiles, none/LZW/Deflate/PackBits/JPEG-in-TIFF/CCITT-fax
+# G3+G4+MH, predictor 2, 16-bit, planar, FillOrder 2) / WebP lossless
+# (VP8L: all transforms, color cache, LZ77, meta codes) = NATIVE pixels
+# (stdlib kernels); hierarchical/12-bit-DCT JPEG, old-JPEG/float TIFF
+# and lossy WebP (VP8) = header metadata where sniffable, pixels via
+# the PIL gate; audio = native WAV build/parse/features
+# (kernels/wav.py); video = native MP4 box-tree metadata
+# (kernels/mp4.py), frame decode via ffmpeg gate.
 
 
 def codecs_available() -> bool:
@@ -88,7 +89,7 @@ def _real_decode(data: bytes) -> tuple[int, int, int]:
             w, h, c, _buf = tiff.decode_tiff(data)
             return w, h, c
         except NotImplementedError:
-            pass  # CCITT / 16-bit / planar — PIL gate
+            pass  # old-style JPEG / float / exotic layouts — PIL gate
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         from deepseek_ocr_spark.kernels import webp
 

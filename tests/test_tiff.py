@@ -354,15 +354,119 @@ def test_jpeg_in_tiff_abbreviated_with_jpegtables():
     assert abs(int(arr.mean()) - 150) <= 3
 
 
+def test_gray16_both_byte_orders_top8_display():
+    w, h = 4, 3
+    vals = [(1000 * i + 37) % 65536 for i in range(w * h)]
+    for bo in ("<", ">"):
+        raw = struct.pack(bo + "H" * len(vals), *vals)
+        tags = gray_tags(w, h, h, over={258: (3, [16])})
+        got = decode_tiff(build_tiff(tags, [raw], bo=bo))
+        assert got == (w, h, 1, bytes(v >> 8 for v in vals))
+
+
+def test_gray16_white_is_zero_inverts_in_16bit():
+    w, h = 3, 2
+    vals = [0, 255, 256, 65535, 32768, 500]
+    raw = struct.pack("<" + "H" * 6, *vals)
+    tags = gray_tags(w, h, h, over={258: (3, [16]), 262: (3, [0])})
+    got = decode_tiff(build_tiff(tags, [raw]))
+    # invert at 16 bit then take top 8: (65535-v) >> 8
+    assert got == (w, h, 1, bytes((65535 - v) >> 8 for v in vals))
+
+
+def test_rgb48_with_predictor2():
+    w, h = 5, 2
+    vals = [(517 * i + 11) % 65536 for i in range(w * h * 3)]
+    arr = np.array(vals, np.uint16).reshape(h, w, 3)
+    diff = arr.astype(np.int32).copy()
+    diff[:, 1:] = (arr[:, 1:].astype(np.int32) - arr[:, :-1]) % 65536
+    raw = diff.astype("<u2").tobytes()
+    tags = gray_tags(
+        w, h, h,
+        over={258: (3, [16, 16, 16]), 262: (3, [2]), 277: (3, [3]),
+              317: (3, [2])},
+    )
+    got = decode_tiff(build_tiff(tags, [raw]))
+    assert got == (w, h, 3, (arr >> 8).astype(np.uint8).tobytes())
+
+
+def test_planar_rgb_strip_sets():
+    """PlanarConfiguration 2: all R strips, then G, then B — recombined
+    chunky; two strips per plane exercise the per-plane indexing."""
+    w, h = 4, 4
+    pix = rgb_gradient(w, h)
+    arr = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+    chunks = []
+    for p in range(3):
+        chunks.append(arr[:2, :, p].tobytes())
+        chunks.append(arr[2:, :, p].tobytes())
+    tags = gray_tags(
+        w, h, 2,
+        over={258: (3, [8, 8, 8]), 262: (3, [2]), 277: (3, [3]),
+              284: (3, [2])},
+    )
+    assert decode_tiff(build_tiff(tags, chunks)) == (w, h, 3, pix)
+
+
+def test_planar_rgb_with_predictor2_and_deflate():
+    w, h = 5, 3
+    pix = rgb_gradient(w, h)
+    arr = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+    chunks = []
+    for p in range(3):
+        plane = arr[:, :, p].astype(np.int16)
+        diff = plane.copy()
+        diff[:, 1:] = (plane[:, 1:] - plane[:, :-1]) % 256
+        chunks.append(zlib.compress(diff.astype(np.uint8).tobytes()))
+    tags = gray_tags(
+        w, h, h,
+        over={258: (3, [8, 8, 8]), 262: (3, [2]), 277: (3, [3]),
+              284: (3, [2]), 259: (3, [8]), 317: (3, [2])},
+    )
+    assert decode_tiff(build_tiff(tags, chunks)) == (w, h, 3, pix)
+
+
+def _revbits(data: bytes) -> bytes:
+    return bytes(int(f"{b:08b}"[::-1], 2) for b in data)
+
+
+def test_fillorder2_bilevel_and_gray():
+    w, h = 10, 3
+    bits = [(x + y) % 2 for y in range(h) for x in range(w)]
+    rows = b""
+    for y in range(h):
+        rowbits = bits[y * w : (y + 1) * w] + [0] * 6
+        rows += bytes(
+            int("".join(map(str, rowbits[i : i + 8])), 2) for i in range(0, 16, 8)
+        )
+    tags = gray_tags(w, h, h, over={258: (3, [1]), 266: (3, [2])})
+    got = decode_tiff(build_tiff(tags, [_revbits(rows)]))
+    assert got == (w, h, 1, bytes(255 * b for b in bits))
+    # 8-bit gray: FillOrder reverses every raster byte too
+    pix = gray_gradient(w, h)
+    tags = gray_tags(w, h, h, over={266: (3, [2])})
+    assert decode_tiff(build_tiff(tags, [_revbits(pix)])) == (w, h, 1, pix)
+
+
+def test_fillorder2_lzw_compressed():
+    """FillOrder applies to the stored (compressed) bytes — reverse the
+    LZW stream's bytes and the decoder must undo it before code parsing."""
+    w, h = 7, 4
+    pix = gray_gradient(w, h)
+    data = build_tiff(
+        gray_tags(w, h, h, over={259: (3, [5]), 266: (3, [2])}),
+        [_revbits(LzwEncoder().encode(pix))],
+    )
+    assert decode_tiff(data) == (w, h, 1, pix)
+
+
 def test_gated_variants_raise_notimplemented():
     w, h = 2, 2
     pix = gray_gradient(w, h)
     gates = [
         {259: (3, [4])},             # CCITT G4
         {259: (3, [6])},             # old-style JPEG
-        {258: (3, [16])},            # 16-bit samples
-        {284: (3, [2])},             # planar
-        {266: (3, [2])},             # FillOrder 2
+        {284: (3, [2])},             # planar GRAY (planar is RGB-only)
         {317: (3, [3])},             # float predictor
         {339: (3, [3])},             # float samples
         {262: (3, [5])},             # CMYK
