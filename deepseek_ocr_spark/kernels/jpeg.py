@@ -33,12 +33,16 @@ and smaller files than the fixed tables.
 LOSSLESS (SOF3, r7) is also native — Annex H predictors 1-7, point
 transform, 2-16-bit precision, per-component or interleaved scans,
 row-aligned restarts; full precision via ``decode_jpeg_lossless``, 8-bit
-display mapping via ``decode_jpeg``.  Hierarchical processes, 12-bit
-DCT precision and >2 sampling factors raise NotImplementedError —
-callers fall back to the PIL codec gate exactly as before this module
-existed.  (PIL cannot decode the arithmetic OR lossless processes at
-all, so the SOF9/SOF10/SOF3 lanes EXCEED the reference pipeline's codec
-surface.)
+display mapping via ``decode_jpeg``.  12-BIT DCT precision (r7) is
+native on the Huffman processes SOF1/SOF2 — center 2048 / clamp 4095
+IDCT and direct-arithmetic YCbCr ranges, exactly what a
+BITS_IN_JSAMPLE=12 libjpeg build tabulates; full range via
+``decode_jpeg_deep``, top-8-bits display via ``decode_jpeg``.
+Hierarchical processes, 12-bit arithmetic coding and >2 sampling
+factors raise NotImplementedError — callers fall back to the PIL codec
+gate exactly as before this module existed.  (PIL cannot decode the
+arithmetic, lossless or 12-bit processes at all, so those lanes EXCEED
+the reference pipeline's codec surface.)
 
 Scale shape: this kernel runs inside Arrow-batched mapInPandas stages
 (operators/vision.py, operators/multimodal.py) — per-image work,
@@ -97,9 +101,13 @@ _F_2_562915447 = _fix(2.562915447)
 _F_3_072711026 = _fix(3.072711026)
 
 
-def idct_islow_blocks(coeffs: np.ndarray, quant: np.ndarray) -> np.ndarray:
+def idct_islow_blocks(
+    coeffs: np.ndarray, quant: np.ndarray, prec: int = 8
+) -> np.ndarray:
     """libjpeg jpeg_idct_islow over (n, 64) natural-order int coefficient
-    blocks with a (64,) natural-order quant table → (n, 8, 8) uint8 samples.
+    blocks with a (64,) natural-order quant table → (n, 8, 8) uint8 samples
+    (12-bit precision: center 2048 / clamp 4095 / uint16, the libjpeg
+    BITS_IN_JSAMPLE=12 build's ranges).
 
     Bit-exact transcription of the two-pass fixed-point algorithm:
     dequantize, column pass descaled by CONST_BITS-PASS1_BITS, row pass
@@ -156,7 +164,11 @@ def idct_islow_blocks(coeffs: np.ndarray, quant: np.ndarray) -> np.ndarray:
     ws = ws.transpose(0, 2, 1)
     # row pass on the worksheet
     out = _pass(ws, _CONST_BITS + _PASS1_BITS + 3, False)
-    return np.clip(out + 128, 0, 255).astype(np.uint8)
+    center = 1 << (prec - 1)
+    maxval = (1 << prec) - 1
+    return np.clip(out + center, 0, maxval).astype(
+        np.uint8 if prec == 8 else np.uint16
+    )
 
 
 # --- fancy upsampling (jdsample.c) -------------------------------------------
@@ -220,13 +232,30 @@ _CR_G = -_fix16(0.71414) * _X
 _CB_G = -_fix16(0.34414) * _X + _ONE_HALF
 
 
-def ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
-    """jdcolor.c ycc_rgb_convert with its exact fixed-point tables."""
+def ycc_to_rgb(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, prec: int = 8
+) -> np.ndarray:
+    """jdcolor.c ycc_rgb_convert with its exact fixed-point tables (the
+    deep path computes the same table arithmetic directly, centered at
+    2^(prec-1) — what a BITS_IN_JSAMPLE=12 libjpeg build tabulates)."""
     y = y.astype(np.int64)
-    r = y + _CR_R[cr]
-    g = y + ((_CB_G[cb] + _CR_G[cr]) >> _SCALEBITS)
-    b = y + _CB_B[cb]
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    if prec == 8:
+        r = y + _CR_R[cr]
+        g = y + ((_CB_G[cb] + _CR_G[cr]) >> _SCALEBITS)
+        b = y + _CB_B[cb]
+        return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    center = 1 << (prec - 1)
+    c_b = cb.astype(np.int64) - center
+    c_r = cr.astype(np.int64) - center
+    r = y + ((_fix16(1.40200) * c_r + _ONE_HALF) >> _SCALEBITS)
+    b = y + ((_fix16(1.77200) * c_b + _ONE_HALF) >> _SCALEBITS)
+    g = y + (
+        (-_fix16(0.34414) * c_b + _ONE_HALF + -_fix16(0.71414) * c_r)
+        >> _SCALEBITS
+    )
+    return np.clip(np.stack([r, g, b], axis=-1), 0, (1 << prec) - 1).astype(
+        np.uint16
+    )
 
 
 # --- entropy decoding --------------------------------------------------------
@@ -357,14 +386,31 @@ def decode_jpeg(data: bytes) -> Image:
         raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
 
 
-def _decode_jpeg_checked(data: bytes) -> Image:
+def decode_jpeg_deep(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Full-precision decode → (w, h, ncomp, precision, uint16 samples of
+    shape (h, w, ncomp)).  Covers every natively-decoded process: 8-bit
+    streams come back verbatim (widened to uint16), 12-bit extended
+    sequential / progressive (SOF1/SOF2, r7) keep their 12-bit range,
+    and lossless SOF3 routes to the Annex-H parser.  ``decode_jpeg``
+    stays the 8-bit display lane (top-8-bits rule for deep samples)."""
+    try:
+        return _decode_jpeg_checked(data, deep=True)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_checked(data: bytes, deep: bool = False):
     """Decode JPEG bytes → pixels.Image tuple (w, h, ch, buf); ch = 1
     (grayscale) or 3 (RGB from YCbCr).  Handles baseline/extended
-    sequential (SOF0/SOF1) AND progressive (SOF2, r5 — spectral selection,
-    successive approximation, EOB runs; the jdphuff.c scan semantics).
-    ValueError on corrupt data, NotImplementedError on hierarchical /
-    12-bit-DCT streams (the PIL codec gate covers those); arithmetic
-    (SOF9/SOF10) and lossless (SOF3) streams decode natively."""
+    sequential (SOF0/SOF1, 8- AND 12-bit) AND progressive (SOF2 both
+    precisions, r5/r7 — spectral selection, successive approximation,
+    EOB runs; the jdphuff.c scan semantics).  ValueError on corrupt
+    data, NotImplementedError on hierarchical / 12-bit-arithmetic
+    streams (the PIL codec gate covers those); arithmetic (SOF9/SOF10)
+    and lossless (SOF3) streams decode natively.  ``deep`` returns the
+    full-precision 5-tuple instead (see decode_jpeg_deep)."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -375,6 +421,7 @@ def _decode_jpeg_checked(data: bytes) -> Image:
     dac_ac: dict[int, int] = {}  # AC conditioning: Kx
     comps: list[_Component] = []
     width = height = 0
+    prec = 8
     restart_interval = 0
     progressive = False
     arith = False
@@ -416,7 +463,9 @@ def _decode_jpeg_checked(data: bytes) -> Image:
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
             prec = seg[0]
-            if prec != 8:
+            if prec != 8 and not (prec == 12 and marker in (0xC1, 0xC2)):
+                # 12-bit rides the Huffman extended/progressive processes
+                # only (the BITS_IN_JSAMPLE=12 libjpeg build's surface)
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
             height, width = struct.unpack(">HH", seg[1:5])
             # 1<<28-pixel sanity bound (shared with decode_bmp/decode_gif):
@@ -439,6 +488,8 @@ def _decode_jpeg_checked(data: bytes) -> Image:
             if progressive:
                 _alloc_blocks(comps, width, height)
         elif marker == 0xC3:  # SOF3 lossless (r7) — dedicated parser
+            if deep:
+                return _decode_lossless_checked(data)
             return _lossless_to_image(data)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -506,19 +557,26 @@ def _decode_jpeg_checked(data: bytes) -> Image:
             else:
                 out = _decode_scan(
                     data, pos + 2 + seglen, scan, comps, width, height,
-                    qt, dc_tabs, ac_tabs, restart_interval,
+                    qt, dc_tabs, ac_tabs, restart_interval, prec,
                 )
             break  # single-scan baseline: done after first SOS
         # else: APPn/COM — skip
         pos += 2 + seglen
 
     if progressive and saw_scan:
-        out = _finalize(comps, width, height, qt)
+        out = _finalize(comps, width, height, qt, prec)
     if out is None or not comps:
         raise ValueError("no SOS/SOF in JPEG stream")
-    if len(comps) == 1:
-        return (width, height, 1, out.tobytes())
-    return (width, height, 3, out.tobytes())
+    ch = 1 if len(comps) == 1 else 3
+    if deep:
+        arr = out.astype(np.uint16)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return (width, height, ch, prec, arr)
+    if prec > 8:
+        # display mapping: top 8 bits (the lossless/TIFF-16 rule)
+        out = (out >> (prec - 8)).astype(np.uint8)
+    return (width, height, ch, out.tobytes())
 
 
 def _decode_scan(
@@ -532,6 +590,7 @@ def _decode_scan(
     dc_tabs: dict[int, _Huff],
     ac_tabs: dict[int, _Huff],
     restart_interval: int,
+    prec: int = 8,
 ) -> np.ndarray:
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -579,11 +638,12 @@ def _decode_scan(
                 dc_tabs[c.td], ac_tabs[c.ta], c,
             )
 
-    return _finalize(comps, width, height, qt)
+    return _finalize(comps, width, height, qt, prec)
 
 
 def _finalize(
-    comps: list[_Component], width: int, height: int, qt: dict[int, np.ndarray]
+    comps: list[_Component], width: int, height: int,
+    qt: dict[int, np.ndarray], prec: int = 8,
 ) -> np.ndarray:
     """Dequant + IDCT + upsample + color-convert the accumulated
     coefficient arrays (shared by the sequential and progressive paths)."""
@@ -591,7 +651,7 @@ def _finalize(
     vmax = max(c.v for c in comps)
     planes = []
     for c in comps:
-        samples = idct_islow_blocks(c.blocks, qt[c.tq])  # (n, 8, 8)
+        samples = idct_islow_blocks(c.blocks, qt[c.tq], prec)  # (n, 8, 8)
         plane = (
             samples.reshape(c.bh, c.bw, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -613,8 +673,8 @@ def _finalize(
         planes.append(up[:height, :width])
 
     if len(planes) == 1:
-        return planes[0].astype(np.uint8)
-    return ycc_to_rgb(planes[0], planes[1], planes[2])
+        return planes[0].astype(np.uint8 if prec == 8 else np.uint16)
+    return ycc_to_rgb(planes[0], planes[1], planes[2], prec)
 
 
 def _decode_block(
