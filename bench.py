@@ -140,6 +140,7 @@ def main() -> None:
         "mixture_weights",
         "bpe_encode_stats",
         "dsir_select",
+        "quality_clf_scores",
     ]
     reg = registry()
     for name in bench_queries:

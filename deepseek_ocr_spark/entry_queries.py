@@ -777,6 +777,16 @@ _DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = 
         lambda s, d: traindata.dsir_topk(_docs(s, d), k=100, n_buckets=256),
         traindata.dsir_topk_sql(k=100, n_buckets=256),
     ),
+    # trained quality/langid classifier (r7-late): fasttext-shaped
+    # hashed-bucket linear model, HARD-sigmoid surrogate so training is
+    # exact BIGINT arithmetic end-to-end (no exp() ULP risk); 12
+    # full-batch gradient steps unrolled as MATERIALIZED CTEs in the
+    # oracle (plain CTEs re-inline w{i-1} twice per step → exponential
+    # parquet rescans — measured as an fd-exhaustion blowup at K=12).
+    "quality_clf_scores": (
+        lambda s, d: traindata.clf_topk(_docs(s, d), k=100),
+        traindata.clf_topk_sql(k=100),
+    ),
     # full pipeline (rows-only; byte-identity gated in pytest instead) +
     # the oracle-checkable projection of the same pipeline run
     "extract_pipeline": (q_extract_pipeline, None),
@@ -838,7 +848,11 @@ _DRIVER_HEAD: list[str] = [
     "supplier_nation_balance",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_minhash_pairs_16x4",
+    # dedup_minhash_pairs_16x4 ceded its slot to r7-late
+    # quality_clf_scores: it is a banding variant of dedup_minhash_pairs
+    # (same module/code path, r6-green, unchanged since) and the head
+    # holds exactly 50 — a never-checked new operator outranks a
+    # variant's evidence freshness (the metrics_rollup_salted precedent)
     "dedup_components",
     "dedup_minhash_verified",
     "dedup_incremental",
@@ -857,6 +871,7 @@ _DRIVER_HEAD: list[str] = [
     "mixture_weights",
     "bpe_encode_stats",
     "dsir_select",
+    "quality_clf_scores",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

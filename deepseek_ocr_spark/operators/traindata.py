@@ -486,3 +486,231 @@ SELECT doc_id, shard, n_tokens,
                    - n_tokens) / {max_tokens}) AS BIGINT) AS bin_ix
 FROM base
 """
+
+
+# --- trained quality/language classifier (fasttext-shaped linear model) ------
+
+CLF_BUCKETS = 128  # hashed-feature dim; deployable values are 2^18+ —
+#                    the oracle unrolls iterations, so tests keep it small
+CLF_ITERS = 12
+CLF_STEP_DIV = 30_000  # integer learning-rate divisor (see clf_fit)
+
+
+def _floordiv(col, d: int):
+    """Exact floor division for BIGINT columns: (a - pmod(a, d)) / d.
+    The numerator is exactly divisible, so the double division is exact
+    for |a| < 2^53 (documented bound; the m-row gradient table at test
+    scales is far inside it)."""
+    return ((col - F.pmod(col, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def _clf_features(docs: DataFrame, target_lang: str, n_buckets: int) -> DataFrame:
+    """The classifier design matrix: DSIR's hashed unigram+bigram bucket
+    counts plus a constant BIAS feature (bucket −1, k=1 per doc) — the
+    bias absorbs the class prior so the per-bucket weights spend their
+    gradient steps on the DISCRIMINATIVE signal, not the common mode."""
+    bias = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        (F.col("lang") == target_lang).alias("is_t"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.lit(1).cast("bigint").alias("k"),
+    )
+    return _dsir_doc_buckets(docs, target_lang, n_buckets).unionByName(bias)
+
+
+def clf_fit(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = CLF_BUCKETS,
+    iters: int = CLF_ITERS,
+    step_div: int = CLF_STEP_DIV,
+) -> DataFrame:
+    """(b, wq) — a fasttext-SHAPED linear classifier trained as a Spark
+    job: hashed unigram+bigram bucket counts (the same 60-bit-digest
+    feature map as DSIR) → linear score → HARD-sigmoid
+    p = clamp(z/4 + 1/2, 0, 1), trained by ``iters`` full-batch
+    gradient steps against the weak label y = (lang == target_lang) —
+    the fasttext langid/quality recipe with the sigmoid replaced by its
+    piecewise-linear surrogate so EVERY quantity is an exact BIGINT and
+    the DuckDB oracle matches bit-for-bit (no exp() cross-engine ULP
+    risk; same discipline as the k-means micro-unit centroids).
+
+    Units: weights ``wq`` are micro-z (1e6 = 1.0 of z); per-doc
+    z_q = Σ k_b·wq[b]; p4 = clamp(z_q + 2e6, 0, 4e6) is p in
+    quarter-micro units.  Squared-error gradient: the hard sigmoid's
+    dead zones (p4 at 0 or 4e6) contribute nothing; elsewhere the
+    per-doc error e4 = p4 − 4e6·y flows back through the doc's bucket
+    counts.  Update w ← w − floor(g / step_div) (integer learning
+    rate — the only division, exact).
+
+    Plan shape (100 TB): the (doc_id, y, b, k) design matrix is
+    materialised ONCE (eager localCheckpoint — the fit's iterations
+    must not re-derive the corpus explode per step, the DSIR lesson);
+    each iteration is one broadcast join + doc agg (z) and one
+    doc_id-keyed join + bucket agg (gradient) over that matrix; the
+    m-row weights table is localCheckpoint'ed per step exactly like the
+    k-means centroids, so the final plan reads an ExistingRDD."""
+    feats = _clf_features(docs, target_lang, n_buckets).localCheckpoint(
+        eager=True
+    )
+    weights = (
+        feats.select("b").distinct().select("b", F.lit(0).cast("long").alias("wq"))
+    ).localCheckpoint(eager=True)
+    p4 = F.least(
+        F.greatest(F.col("zq") + F.lit(2_000_000), F.lit(0).cast("long")),
+        F.lit(4_000_000).cast("long"),
+    )
+    active = (p4 > 0) & (p4 < 4_000_000)
+    e4 = F.when(
+        active,
+        p4 - F.when(F.col("is_t"), F.lit(4_000_000)).otherwise(F.lit(0)),
+    ).otherwise(F.lit(0)).cast("long")
+    for _ in range(iters):
+        z = (
+            feats.join(F.broadcast(weights), "b")
+            .groupBy("doc_id", "is_t")
+            .agg(F.sum(F.col("k") * F.col("wq")).cast("long").alias("zq"))
+        )
+        docerr = z.select("doc_id", e4.alias("ea4"))
+        grad = (
+            feats.join(docerr, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("k") * F.col("ea4")).cast("long").alias("g"))
+        )
+        weights = (
+            weights.join(grad, "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("wq")
+                    - _floordiv(F.coalesce(F.col("g"), F.lit(0)), step_div)
+                ).alias("wq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return weights
+
+
+def clf_scores(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = CLF_BUCKETS,
+    iters: int = CLF_ITERS,
+    step_div: int = CLF_STEP_DIV,
+    fit: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_feats, clf_score) — every document scored through the
+    trained linear model; clf_score = hard-sigmoid probability rounded
+    once to 4 places (a SINGLE rounded expression, hash-parity rule).
+    Pass ``fit=`` to score many corpora / a stream against one trained
+    model without refitting.  One corpus scan + broadcast join."""
+    if fit is None:
+        fit = clf_fit(docs, target_lang, n_buckets, iters, step_div)
+    zq = F.sum(F.col("k") * F.col("wq")).cast("long")
+    p4 = F.least(
+        F.greatest(zq + F.lit(2_000_000), F.lit(0).cast("long")),
+        F.lit(4_000_000).cast("long"),
+    )
+    return (
+        _clf_features(docs, target_lang, n_buckets)
+        .join(F.broadcast(fit), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.round(p4.cast("double") / F.lit(4_000_000.0), 4).alias("clf_score"),
+        )
+    )
+
+
+def clf_topk(
+    docs: DataFrame,
+    k: int = 100,
+    target_lang: str = "en",
+    n_buckets: int = CLF_BUCKETS,
+    iters: int = CLF_ITERS,
+    step_div: int = CLF_STEP_DIV,
+) -> DataFrame:
+    """Top-k most target-like docs — orderBy+limit so the plan compiles
+    to TakeOrderedAndProject (never a global window; the DSIR rule)."""
+    return (
+        clf_scores(docs, target_lang, n_buckets, iters, step_div)
+        .orderBy(F.col("clf_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def clf_topk_sql(
+    table: str = "documents",
+    k: int = 100,
+    target_lang: str = "en",
+    n_buckets: int = CLF_BUCKETS,
+    iters: int = CLF_ITERS,
+    step_div: int = CLF_STEP_DIV,
+) -> str:
+    # mirrors the Spark training loop bit-for-bit: same digest feature
+    # map as dsir_topk_sql, weights unrolled one CTE pair per gradient
+    # step (the _kmeans_cents_cte pattern), floor-division spelled
+    # (g - ((g % D) + D) % D) // D so both engines floor identically
+    rot20 = f"((((h[i+1]) & {(1 << 40) - 1}) << 20) | ((h[i+1]) >> 40))"
+    d = step_div
+    parts = [f"""
+WITH tokh AS (
+  SELECT doc_id, lang = '{target_lang}' AS is_t,
+         list_transform(list_filter(string_split(text, ' '), t -> t != ''),
+             t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS h
+  FROM {table} WHERE text IS NOT NULL
+),
+feats AS (
+  SELECT doc_id, is_t,
+         unnest(list_concat(
+             list_transform(h, g -> g % {n_buckets}),
+             CASE WHEN len(h) >= 2
+              THEN list_transform(range(1, len(h)),
+                   i -> xor(h[i], {rot20}) % {n_buckets})
+              ELSE [] END)) AS b
+  FROM tokh
+),
+doc_b AS MATERIALIZED (
+  SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS k
+  FROM feats GROUP BY doc_id, is_t, b
+  UNION ALL
+  SELECT doc_id, is_t, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM tokh
+),
+w0 AS MATERIALIZED (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wq FROM doc_b)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+z{i} AS MATERIALIZED (
+  SELECT doc_id, is_t, CAST(sum(k * wq) AS BIGINT) AS zq
+  FROM doc_b JOIN w{i - 1} USING (b) GROUP BY doc_id, is_t
+),
+e{i} AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN zq + 2000000 > 0 AND zq + 2000000 < 4000000
+              THEN (zq + 2000000)
+                   - CASE WHEN is_t THEN 4000000 ELSE 0 END
+              ELSE 0 END AS ea4
+  FROM z{i}
+),
+g{i} AS MATERIALIZED (
+  SELECT b, CAST(sum(k * ea4) AS BIGINT) AS g
+  FROM doc_b JOIN e{i} USING (doc_id) GROUP BY b
+),
+w{i} AS MATERIALIZED (
+  SELECT b, wq - ((COALESCE(g, 0)
+                   - ((COALESCE(g, 0) % {d}) + {d}) % {d}) // {d}) AS wq
+  FROM w{i - 1} LEFT JOIN g{i} USING (b)
+)""")
+    parts.append(f""",
+scored AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats,
+         round(CAST(LEAST(GREATEST(CAST(sum(k * wq) AS BIGINT) + 2000000, 0),
+                          4000000) AS DOUBLE) / 4000000.0, 4) AS clf_score
+  FROM doc_b JOIN w{iters} USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_feats, clf_score
+FROM scored
+ORDER BY clf_score DESC, doc_id ASC
+LIMIT {k}
+""")
+    return "".join(parts)
