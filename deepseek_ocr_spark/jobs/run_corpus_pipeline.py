@@ -35,6 +35,9 @@ Writes under --output:
     dsir_fit/    the fitted DSIR importance model (m-row log-ratio table,
                  written once; selection + streams score against it)
     dsir/        per-doc DSIR importance scores
+    clf_fit/     the trained quality-classifier weight table (m-row,
+                 written once; batch scoring + streams read it)
+    clf/         per-doc trained-classifier quality scores
     semantic/    SemDeDup components over the embeddings table
                  (written when the sibling embeddings.parquet exists)
 
@@ -165,6 +168,13 @@ def main(argv: list[str] | None = None) -> int:
     dsir_model = spark.read.parquet(os.path.join(args.output, "dsir_fit"))
     traindata.dsir_scores(docs, fit=dsir_model).write.mode("overwrite").parquet(
         os.path.join(args.output, "dsir")
+    )
+    traindata.clf_fit(docs).write.mode("overwrite").parquet(
+        os.path.join(args.output, "clf_fit")
+    )
+    clf_model = spark.read.parquet(os.path.join(args.output, "clf_fit"))
+    traindata.clf_scores(docs, fit=clf_model).write.mode("overwrite").parquet(
+        os.path.join(args.output, "clf")
     )
 
     # SemDeDup needs the embeddings table; present in --sf-dir runs,

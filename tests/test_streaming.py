@@ -451,3 +451,44 @@ def test_streaming_semantic_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # every exact copy of a corpus vector is dropped (cos = 1.0)
     assert not any(v >= 100000 for v in got)
+
+
+def test_streaming_clf_scores_match_batch(spark, tmp_path):
+    """Stream scoring vs the materialized trained-classifier weight
+    table: per-doc scores across micro-batches equal one batch
+    clf_scores() pass with the same fitted model (bit-exact — the
+    hard-sigmoid arithmetic is pure BIGINT)."""
+    from deepseek_ocr_spark.operators.traindata import clf_fit, clf_scores
+    from deepseek_ocr_spark.streaming.clf_stream import stream_clf_scores_to_parquet
+
+    all_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = all_docs.select(
+        "doc_id",
+        F.expr("timestamp'2025-01-01' + make_interval(0,0,0,0,0,0,doc_id)").alias(
+            "warc_ts"
+        ),
+        "text",
+    )
+    in_dir, out_dir, ck, fit_dir = (
+        str(tmp_path / d) for d in ("in", "out", "ck", "fit")
+    )
+    fit = clf_fit(all_docs, iters=3)
+    fit.write.parquet(fit_dir)
+    import os
+
+    os.makedirs(in_dir)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{in_dir}/b=0")
+    docs.filter("doc_id % 2 != 0").coalesce(1).write.parquet(f"{in_dir}/b=1")
+
+    q = stream_clf_scores_to_parquet(spark, in_dir + "/*", fit_dir, out_dir, ck)
+    q.awaitTermination(300)
+
+    got = {
+        (r["doc_id"], r["n_feats"], r["clf_score"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_feats"], r["clf_score"])
+        for r in clf_scores(all_docs, fit=fit).collect()
+    }
+    assert got == want and len(got) > 0
