@@ -12,6 +12,8 @@ Stages (one noop-write timing each, min-of-RUNS):
     contamination   traindata.contamination_flags
     lm_score        corpus_stats.lm_bigram_score
     seq_pack        traindata.seq_pack
+    clf_score       traindata.clf_scores against a pre-fitted model
+                    (fit timed separately as clf_fit_s — 12 GD rounds)
 
 Run:  PYTHONPATH=. python BENCH/decade_corpus.py
 Writes BENCH/decade_corpus_r7.json; summarize in BENCH/BASELINE.md.
@@ -56,6 +58,11 @@ out["spans_cut"] = timed(lambda: dedup.dedup_spans_cut(docs, dup_table=dup_table
 out["contamination"] = timed(lambda: traindata.contamination_flags(docs))
 out["lm_score"] = timed(lambda: corpus_stats.lm_bigram_score(docs))
 out["seq_pack"] = timed(lambda: traindata.seq_pack(docs))
+t0 = time.time()
+clf_model = traindata.clf_fit(docs)  # 12-step integer GD (eager — runs here)
+clf_model.write.format("noop").mode("overwrite").save()
+out["clf_fit_s"] = round(time.time() - t0, 3)
+out["clf_score"] = timed(lambda: traindata.clf_scores(docs, fit=clf_model))
 
 def tree_hwm_kb():
     pids = {str(os.getpid())}
@@ -91,7 +98,7 @@ print(json.dumps(out))
 
 STAGES = [
     "dedup_pairs", "span_digests", "spans", "spans_cut",
-    "contamination", "lm_score", "seq_pack",
+    "contamination", "lm_score", "seq_pack", "clf_score",
 ]
 
 

@@ -281,7 +281,23 @@ def _decode_checked(data: bytes) -> Image:
     if predictor == 2 and bits not in (8, 16):
         raise NotImplementedError("predictor 2 on sub-byte samples")
     if comp == 6:
-        raise NotImplementedError("old-style JPEG-in-TIFF not supported")
+        # old-style JPEG (TIFF 6.0 §22, deprecated by TTN2): the one form
+        # that appears in practice embeds a COMPLETE JFIF stream at
+        # JPEGInterchangeFormat (513/514) — decode it directly; the
+        # never-finished strip-table variant stays gated
+        off = one(513, 0)
+        ln = one(514, 0)
+        if off and ln and off + ln <= len(data):
+            from . import jpeg as jpeg_kernel
+
+            jw, jh, jc, buf = jpeg_kernel.decode_jpeg(data[off : off + ln])
+            if jw < width or jh < height:
+                raise ValueError("old-JPEG stream smaller than TIFF dims")
+            arr = np.frombuffer(buf, np.uint8).reshape(jh, jw, jc)
+            return width, height, jc, arr[:height, :width].tobytes()
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF without JPEGInterchangeFormat"
+        )
     if comp == 32771:
         raise NotImplementedError("word-aligned CCITT RLE not supported")
     if comp in (2, 3, 4):

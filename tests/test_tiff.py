@@ -527,3 +527,29 @@ def test_operator_wiring_sniff_and_decode():
     # big-endian sniff too
     data_be = build_tiff(gray_tags(w, h, h), [pix], bo=">")
     assert sniff_image_meta(data_be) == ("tiff", w, h, 1)
+
+
+def test_old_style_jpeg_interchange_format():
+    """Compression 6 with a complete JFIF stream at
+    JPEGInterchangeFormat (513/514) — the one old-JPEG form seen in the
+    wild — routes through the JPEG kernel; dims crop to the IFD's."""
+    from deepseek_ocr_spark.kernels import jpeg as jpeg_kernel
+    from tests.test_pixels import gradient
+
+    stream = jpeg_kernel.encode_jpeg_baseline(gradient(16, 8, 3))
+    jw, jh, jc, jbuf = jpeg_kernel.decode_jpeg(stream)
+    w, h = 14, 8  # crop narrower than the JPEG frame
+    tags = gray_tags(
+        w, h, h,
+        over={258: (3, [8, 8, 8]), 262: (3, [6]), 277: (3, [3]),
+              259: (3, [6]), 513: (4, [8]), 514: (4, [len(stream)])},
+    )
+    got = decode_tiff(build_tiff(tags, [stream]))
+    arr = np.frombuffer(jbuf, np.uint8).reshape(jh, jw, 3)
+    assert got == (w, h, 3, arr[:h, :w].tobytes())
+
+
+def test_old_style_jpeg_without_pointer_stays_gated():
+    pix = gray_gradient(2, 2)
+    with pytest.raises(NotImplementedError, match="JPEGInterchangeFormat"):
+        decode_tiff(build_tiff(gray_tags(2, 2, 2, over={259: (3, [6])}), [pix]))
