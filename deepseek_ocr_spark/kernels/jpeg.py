@@ -38,11 +38,16 @@ native on the Huffman processes SOF1/SOF2 — center 2048 / clamp 4095
 IDCT and direct-arithmetic YCbCr ranges, exactly what a
 BITS_IN_JSAMPLE=12 libjpeg build tabulates; full range via
 ``decode_jpeg_deep``, top-8-bits display via ``decode_jpeg``.
-Hierarchical processes, 12-bit arithmetic coding and >2 sampling
-factors raise NotImplementedError — callers fall back to the PIL codec
-gate exactly as before this module existed.  (PIL cannot decode the
-arithmetic, lossless or 12-bit processes at all, so those lanes EXCEED
-the reference pipeline's codec surface.)
+HIERARCHICAL sequences (Annex J, r7) are native for the
+sequential-Huffman frame subset: DHP + EXP reference expansion
+(J.1.1.2 filter) + SOF5 differential frames added signed-unclamped to
+the upsampled reference (J.1.1.3); 8/12-bit, 1x1 components.
+Differential progressive/lossless/arithmetic frames, 12-bit arithmetic
+coding and >2 sampling factors raise NotImplementedError — callers fall
+back to the PIL codec gate exactly as before this module existed.  (PIL
+cannot decode the arithmetic, lossless, 12-bit or hierarchical
+processes at all, so those lanes EXCEED the reference pipeline's codec
+surface.)
 
 Scale shape: this kernel runs inside Arrow-batched mapInPandas stages
 (operators/vision.py, operators/multimodal.py) — per-image work,
@@ -102,7 +107,7 @@ _F_3_072711026 = _fix(3.072711026)
 
 
 def idct_islow_blocks(
-    coeffs: np.ndarray, quant: np.ndarray, prec: int = 8
+    coeffs: np.ndarray, quant: np.ndarray, prec: int = 8, signed: bool = False
 ) -> np.ndarray:
     """libjpeg jpeg_idct_islow over (n, 64) natural-order int coefficient
     blocks with a (64,) natural-order quant table → (n, 8, 8) uint8 samples
@@ -164,6 +169,10 @@ def idct_islow_blocks(
     ws = ws.transpose(0, 2, 1)
     # row pass on the worksheet
     out = _pass(ws, _CONST_BITS + _PASS1_BITS + 3, False)
+    if signed:
+        # differential (hierarchical) frames: no level shift, no clamp —
+        # the caller adds the reference and clamps once (J.1.1.3)
+        return out
     center = 1 << (prec - 1)
     maxval = (1 << prec) - 1
     return np.clip(out + center, 0, maxval).astype(
@@ -491,6 +500,8 @@ def _decode_jpeg_checked(data: bytes, deep: bool = False):
             if deep:
                 return _decode_lossless_checked(data)
             return _lossless_to_image(data)
+        elif marker == 0xDE:  # DHP: hierarchical sequence (r7) — delegate
+            return _decode_hierarchical(data, deep)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1364,6 +1375,247 @@ def _lossless_scan(
                 cur[k][cx] = (px + diff) & 0xFFFF
             mcu += 1
     return _next_marker_pos(data, reader.pos)
+
+
+# --- hierarchical process (DHP/EXP + differential frames, Annex J) -----------
+
+
+def _hier_upsample(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """T.81 J.1.1.2 reference-expansion filter, one doubling per axis:
+    even output samples copy the input, odd ones are the rounded mean of
+    the two neighbours, and the trailing odd sample replicates the last
+    input (the spec's edge rule)."""
+    out = plane.astype(np.int64)
+    if eh:
+        left = out
+        right = np.concatenate([out[:, 1:], out[:, -1:]], axis=1)
+        o = np.empty((out.shape[0], out.shape[1] * 2), np.int64)
+        o[:, 0::2] = left
+        o[:, 1::2] = (left + right + 1) >> 1
+        out = o
+    if ev:
+        top = out
+        bot = np.concatenate([out[1:], out[-1:]], axis=0)
+        o = np.empty((out.shape[0] * 2, out.shape[1]), np.int64)
+        o[0::2] = top
+        o[1::2] = (top + bot + 1) >> 1
+        out = o
+    return out
+
+
+def _hier_frame_scan(
+    data: bytes,
+    pos: int,
+    scan: list[_Component],
+    width: int,
+    height: int,
+    dc_tabs: dict[int, _Huff],
+    ac_tabs: dict[int, _Huff],
+    restart_interval: int,
+) -> tuple[int, dict[int, np.ndarray]]:
+    """One sequential Huffman scan of a hierarchical frame (all
+    components 1x1 by the caller's scope check) → per-component (n, 64)
+    coefficient arrays in block-raster order; returns (next-marker
+    offset, {cid: blocks})."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    blocks = {c.cid: np.zeros((bw * bh, 64), np.int64) for c in scan}
+    for c in scan:
+        c.pred = 0
+    reader = _BitReader(data, pos)
+    rst = 0
+    for m in range(bw * bh):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart(rst)
+            rst = (rst + 1) & 7
+            for c in scan:
+                c.pred = 0
+        for c in scan:
+            _decode_block(
+                reader, blocks[c.cid][m], dc_tabs[c.td], ac_tabs[c.ta], c
+            )
+    return _next_marker_pos(data, reader.pos), blocks
+
+
+def _decode_hierarchical(data: bytes, deep: bool = False):
+    """Annex J hierarchical sequence: DHP gives the full-resolution frame
+    header; each subsequent frame is sequential Huffman — SOF0/SOF1
+    non-differential or SOF5 differential (IDCT output added to the
+    EXP-upsampled reference, J.1.1.3) — over per-component reference
+    planes.  Scope (the honest subset): 8- or 12-bit, components 1x1 in
+    every frame, sequential Huffman frames only (differential
+    progressive/lossless/arithmetic stay behind the gate).  The spec
+    lane is the hand-computable fixture battery in
+    tests/test_jpeg_hierarchical.py (DC-only closed forms + an
+    independent transcription of the J.1.1.2 expansion filter)."""
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _Huff] = {}
+    ac_tabs: dict[int, _Huff] = {}
+    restart_interval = 0
+    full_w = full_h = 0
+    prec = 8
+    comp_order: list[int] = []
+    refs: dict[int, np.ndarray] = {}
+    pending_exp: tuple[int, int] | None = None
+    frame: list[_Component] | None = None
+    frame_w = frame_h = 0
+    differential = False
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDE:  # DHP
+            prec = seg[0]
+            if prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit hierarchical JPEG")
+            full_h, full_w = struct.unpack(">HH", seg[1:5])
+            if full_w * full_h > 1 << 28 or not full_w or not full_h:
+                raise ValueError("bad hierarchical dims")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component hierarchical")
+            comp_order = [seg[6 + 3 * c] for c in range(ncomp)]
+        elif marker == 0xDF:  # EXP
+            pending_exp = (seg[0] >> 4, seg[0] & 15)
+        elif marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    vals = list(seg[i : i + 64])
+                    i += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", seg[i + 2 * k : i + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    i += 128
+                nat = np.zeros(64, np.int64)
+                for k, v in enumerate(vals):
+                    nat[ZIGZAG[k]] = v
+                qt[tq] = nat
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = bytes(seg[i + 17 : i + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
+        elif marker in (0xC0, 0xC1, 0xC5):  # frame header
+            if not comp_order:
+                raise ValueError("hierarchical frame before DHP")
+            if seg[0] != prec:
+                raise ValueError("frame precision differs from DHP")
+            differential = marker == 0xC5
+            frame_h, frame_w = struct.unpack(">HH", seg[1:5])
+            if frame_w * frame_h > 1 << 28 or not frame_w or not frame_h:
+                raise ValueError("bad hierarchical frame dims")
+            frame = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if cid not in comp_order:
+                    raise ValueError("frame component not declared in DHP")
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled hierarchical frame components"
+                    )
+                frame.append(_Component(cid, 1, 1, tq))
+            if pending_exp is not None:
+                eh, ev = pending_exp
+                for c in frame:
+                    if c.cid in refs:
+                        refs[c.cid] = _hier_upsample(refs[c.cid], eh, ev)
+                pending_exp = None
+            if differential and any(c.cid not in refs for c in frame):
+                raise ValueError("differential frame without a reference")
+        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "hierarchical sequence with non-sequential-Huffman frame"
+            )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before hierarchical frame header")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next((x for x in frame if x.cid == cs), None)
+                if comp is None:
+                    raise ValueError("SOS references unknown frame component")
+                comp.td, comp.ta = tdta >> 4, tdta & 15
+                if comp.td not in dc_tabs or comp.ta not in ac_tabs:
+                    raise ValueError("SOS references missing Huffman table")
+                if comp.tq not in qt:
+                    raise ValueError("frame references missing quant table")
+                scan.append(comp)
+            pos, blocks = _hier_frame_scan(
+                data, pos + 2 + seglen, scan, frame_w, frame_h,
+                dc_tabs, ac_tabs, restart_interval,
+            )
+            bw = (frame_w + 7) // 8
+            maxval = (1 << prec) - 1
+            for c in scan:
+                # dequant + IDCT; differential frames take the raw
+                # signed sums (no level shift) and clamp only after the
+                # reference add (J.1.1.3)
+                raw = idct_islow_blocks(
+                    blocks[c.cid], qt[c.tq], prec, signed=differential
+                )
+                plane = (
+                    raw.reshape(-1, bw, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(-1, bw * 8)[:frame_h, :frame_w]
+                    .astype(np.int64)
+                )
+                if differential:
+                    ref = refs[c.cid]
+                    if ref.shape != plane.shape:
+                        raise ValueError(
+                            "differential frame dims do not match reference"
+                        )
+                    refs[c.cid] = np.clip(ref + plane, 0, maxval)
+                else:
+                    refs[c.cid] = plane
+            frame = None
+            continue
+        pos += 2 + seglen
+
+    if not comp_order or any(cid not in refs for cid in comp_order):
+        raise ValueError("hierarchical stream missing component frames")
+    planes = []
+    for cid in comp_order:
+        p = refs[cid]
+        if p.shape != (full_h, full_w):
+            raise ValueError("final hierarchical frame below DHP resolution")
+        planes.append(p)
+    if len(planes) == 1:
+        out = planes[0].astype(np.uint8 if prec == 8 else np.uint16)
+    else:
+        out = ycc_to_rgb(planes[0], planes[1], planes[2], prec)
+    ch = 1 if len(planes) == 1 else 3
+    if deep:
+        arr = out.astype(np.uint16)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return (full_w, full_h, ch, prec, arr)
+    if prec > 8:
+        out = (out >> (prec - 8)).astype(np.uint8)
+    return (full_w, full_h, ch, out.tobytes())
 
 
 # --- encoder -----------------------------------------------------------------

@@ -32,16 +32,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Format matrix (r7): PNG / JPEG (baseline + progressive + arithmetic +
-# lossless, SOF0/1/2/3/9/10) / GIF / BMP (all depths + RLE) / TIFF
-# (strips + tiles, none/LZW/Deflate/PackBits/JPEG-in-TIFF/CCITT-fax
-# G3+G4+MH, predictor 2, 16-bit, planar, FillOrder 2) / WebP lossless
-# (VP8L: all transforms, color cache, LZ77, meta codes) = NATIVE pixels
-# (stdlib kernels); hierarchical/12-bit-DCT JPEG, old-JPEG/float TIFF
-# and lossy WebP (VP8) = header metadata where sniffable, pixels via
-# the PIL gate; audio = native WAV build/parse/features
-# (kernels/wav.py); video = native MP4 box-tree metadata
-# (kernels/mp4.py), frame decode via ffmpeg gate.
+# Format matrix (r7): PNG / JPEG (baseline + progressive + arithmetic
+# + lossless + 12-bit + DHP-hierarchical, SOF0/1/2/3/5/9/10) / GIF /
+# BMP (all depths + RLE) / TIFF (strips + tiles,
+# none/LZW/Deflate/PackBits/JPEG-in-TIFF/CCITT-fax G3+G4+MH, predictor
+# 2, 16-bit, planar, FillOrder 2) / WebP lossless (VP8L: all
+# transforms, color cache, LZ77, meta codes) = NATIVE pixels (stdlib
+# kernels); residual JPEG processes (differential progressive/lossless
+# frames, 12-bit arithmetic), float/exotic TIFF and lossy WebP (VP8) =
+# header metadata where sniffable, pixels via the PIL gate; audio =
+# native WAV build/parse/features (kernels/wav.py); video = native MP4
+# box-tree metadata (kernels/mp4.py), frame decode via ffmpeg gate.
 
 
 def codecs_available() -> bool:
@@ -81,7 +82,7 @@ def _real_decode(data: bytes) -> tuple[int, int, int]:
             w, h, c, _buf = jpeg.decode_jpeg(data)
             return w, h, c
         except NotImplementedError:
-            pass  # hierarchical / 12-bit DCT — PIL gate
+            pass  # residual differential / 12-bit-arith processes — PIL gate
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         from deepseek_ocr_spark.kernels import tiff
 

@@ -1,10 +1,11 @@
 """JPEG lane of the non-PNG pixel path.  Baseline (r5), progressive
-(r5), arithmetic-coded (r7, kernels/jparith.py) and lossless (r7,
-SOF3) decode are all REAL in-sandbox, so the decode tests here run
-UN-skipped; the codec gate (NotImplementedError naming the missing
-codec) now covers only hierarchical/12-bit-DCT JPEG, exotic TIFF
-(CCITT/16-bit/planar) and out-of-matrix formats (WEBP).  PIL
-cross-parity lives in tests/test_jpeg_kernel.py's codec-present
+(r5), arithmetic-coded (r7, kernels/jparith.py), lossless (r7, SOF3),
+12-bit (r7) and DHP-hierarchical (r7) decode are all REAL in-sandbox,
+so the decode tests here run UN-skipped; the codec gate
+(NotImplementedError naming the missing codec) now covers only residual
+JPEG processes (differential progressive/lossless frames, 12-bit
+arithmetic, bare differential SOFs), float/exotic TIFF and lossy WebP.
+PIL cross-parity lives in tests/test_jpeg_kernel.py's codec-present
 lane."""
 
 import importlib.util
@@ -77,9 +78,9 @@ def test_encode_jpeg_drops_alpha():
 
 
 def _hierarchical_stub() -> bytes:
-    """Minimal SOF5 (hierarchical) stream — enough to reach the SOF.
-    (SOF9 arithmetic and SOF3 lossless are NATIVE since r7 and no longer
-    gate-relevant.)"""
+    """A bare SOF5 with no DHP — an invalid hierarchical fragment that
+    exercises the residual-SOF gate path.  (DHP-led hierarchical, SOF9
+    arithmetic and SOF3 lossless are all NATIVE as of r7.)"""
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     out += struct.pack(">BBH", 0xFF, 0xC5, len(sof) + 2) + sof
@@ -90,12 +91,14 @@ def _hierarchical_stub() -> bytes:
     _HAS_PIL, reason="codec present — the gate path is for codec-less environments"
 )
 def test_codec_gate_raises_clearly_without_codec():
-    """The narrowed sandbox gate: HIERARCHICAL JPEG and formats outside
-    the native matrix (e.g. WEBP) still need a native codec and raise a
-    NotImplementedError naming it (PNG / every non-hierarchical 8-bit
-    JPEG process incl. arithmetic and lossless / GIF / BMP incl. RLE /
-    mainstream TIFF are all native as of r7); corrupt streams raise
-    ValueError (a decoder error, not a gate)."""
+    """The narrowed sandbox gate: a bare differential SOF outside a DHP
+    hierarchical sequence (or any other residual JPEG process) and
+    formats outside the native matrix (e.g. lossy WebP) still route to
+    the native-codec gate (PNG / every sequential+progressive JPEG
+    process incl. arithmetic, lossless, 12-bit and DHP-hierarchical /
+    GIF / BMP incl. RLE / mainstream TIFF incl. fax / VP8L WebP are all
+    native as of r7); corrupt streams raise ValueError (a decoder
+    error, not a gate)."""
     from deepseek_ocr_spark.operators.multimodal import _real_decode, codecs_available
 
     assert not codecs_available()
