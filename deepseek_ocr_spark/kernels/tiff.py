@@ -24,8 +24,11 @@ accepts that we did not decode natively.  Supported:
 - Compression 2/3/4 (CCITT Modified Huffman / Group 3 / Group 4 fax via
   kernels/fax.py — the scanned-document workhorse; strips, both
   photometrics, FillOrder 2)
+- SampleFormat 3 (32-bit float rasters, strip layouts; [0,1] clamped
+  and scaled to bytes round-half-up), and old-style JPEG 6 when a
+  complete stream sits at JPEGInterchangeFormat
 
-Out-of-matrix variants (old-style JPEG 6, float samples / predictor 3,
+Out-of-matrix variants (strip-table old-JPEG, float predictor 3,
 planar or fax tiles, fax uncompressed mode) raise NotImplementedError —
 the callers' PIL codec gate covers those; corrupt input raises
 ValueError only (the drop-rule contract shared with the
@@ -263,7 +266,7 @@ def _decode_checked(data: bytes) -> Image:
     if len(set(bits_list)) != 1:
         raise NotImplementedError("mixed BitsPerSample")
     bits = bits_list[0]
-    if bits not in (1, 4, 8, 16):
+    if bits not in (1, 4, 8, 16, 32):
         raise NotImplementedError(f"{bits}-bit TIFF samples not supported")
     comp = one(259, 1)
     photo = one(262, 1)
@@ -273,8 +276,13 @@ def _decode_checked(data: bytes) -> Image:
     fillorder = one(266, 1)
     if fillorder not in (1, 2):
         raise ValueError(f"bad FillOrder {fillorder}")
-    if one(339, 1) != 1:
-        raise NotImplementedError("non-uint TIFF samples not supported")
+    sample_fmt = one(339, 1)
+    if sample_fmt not in (1, 3):
+        raise NotImplementedError("signed/void TIFF samples not supported")
+    if sample_fmt == 3 and bits != 32:
+        raise NotImplementedError("float TIFF outside 32-bit samples")
+    if sample_fmt == 1 and bits == 32:
+        raise NotImplementedError("32-bit uint TIFF samples not supported")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
@@ -343,6 +351,36 @@ def _decode_checked(data: bytes) -> Image:
         if fillorder == 2:
             raw = _REV[np.frombuffer(raw, np.uint8)].tobytes()
         return raw
+
+    if sample_fmt == 3:
+        # 32-bit float rasters (HDR/depth/scientific): strip layouts over
+        # the byte-stream compressions; display mapping clamps [0,1] and
+        # scales to bytes with round-half-up (floor(v*255 + 0.5))
+        if tiled or planar == 2 or predictor != 1 or comp in (2, 3, 4, 6, 7):
+            raise NotImplementedError("float TIFF variant not supported")
+        if photo not in (0, 1, 2) or (photo == 2 and spp not in (3, 4)):
+            raise NotImplementedError("float TIFF photometric not supported")
+        nsamp = spp if photo == 2 else 1
+        rps = one(278, height)
+        rps = min(max(rps, 1), height)
+        row_bytes = width * nsamp * 4
+        fplane = np.zeros((height, width * nsamp), np.float64)
+        y0 = 0
+        for i in range(n_chunks):
+            rows = min(rps, height - y0)
+            raw = _decompress(comp, chunk_bytes(i), row_bytes * rows, None)
+            if len(raw) < row_bytes * rows:
+                raise ValueError("TIFF float strip shorter than raster")
+            fplane[y0 : y0 + rows] = np.frombuffer(
+                raw[: row_bytes * rows], np.dtype(bo + "f4")
+            ).reshape(rows, width * nsamp)
+            y0 += rows
+        # NaNs clamp to 0 (np.clip propagates NaN; nan_to_num first)
+        v = np.clip(np.nan_to_num(fplane, nan=0.0), 0.0, 1.0)
+        out8 = np.floor(v * 255.0 + 0.5).astype(np.uint8)
+        if photo == 0:
+            out8 = np.uint8(255) - out8
+        return width, height, nsamp, out8.tobytes()
 
     if comp in (2, 3, 4):
         if tiled:

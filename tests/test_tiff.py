@@ -553,3 +553,49 @@ def test_old_style_jpeg_without_pointer_stays_gated():
     pix = gray_gradient(2, 2)
     with pytest.raises(NotImplementedError, match="JPEGInterchangeFormat"):
         decode_tiff(build_tiff(gray_tags(2, 2, 2, over={259: (3, [6])}), [pix]))
+
+
+def test_float32_gray_display_mapping():
+    """SampleFormat 3: [0,1] floats scale to bytes with round-half-up;
+    out-of-range and NaN clamp; WhiteIsZero inverts after mapping."""
+    w, h = 5, 2
+    vals = [0.0, 0.25, 0.5, 0.999, 1.0, -0.5, 2.0, float("nan"), 0.002, 0.998]
+    raw = struct.pack("<" + "f" * 10, *vals)
+    over = {258: (3, [32]), 339: (3, [3])}
+    got = decode_tiff(build_tiff(gray_tags(w, h, h, over=over), [raw]))
+    import math
+    expect = bytes(
+        int(math.floor(min(max(0.0 if v != v else v, 0.0), 1.0)
+                       * 255.0 + 0.5))
+        for v in [struct.unpack("<f", struct.pack("<f", x))[0] for x in vals]
+    )
+    assert got == (w, h, 1, expect)
+    over[262] = (3, [0])
+    got = decode_tiff(build_tiff(gray_tags(w, h, h, over=over), [raw]))
+    assert got[3] == bytes(255 - b for b in expect)
+
+
+def test_float32_rgb_deflate_big_endian():
+    w, h = 3, 2
+    vals = [((7 * i) % 11) / 10.0 for i in range(w * h * 3)]
+    raw = struct.pack(">" + "f" * len(vals), *vals)
+    over = {258: (3, [32] * 3), 262: (3, [2]), 277: (3, [3]),
+            339: (3, [3] * 3), 259: (3, [8])}
+    got = decode_tiff(
+        build_tiff(gray_tags(w, h, h, over=over), [zlib.compress(raw)], bo=">")
+    )
+    import math
+    f32 = [struct.unpack(">f", struct.pack(">f", v))[0] for v in vals]
+    expect = bytes(int(math.floor(min(max(v, 0.0), 1.0) * 255.0 + 0.5))
+                   for v in f32)
+    assert got == (w, h, 3, expect)
+
+
+def test_uint32_and_signed_samples_stay_gated():
+    pix = gray_gradient(2, 2)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(build_tiff(
+            gray_tags(2, 2, 2, over={258: (3, [32])}), [pix]))
+    with pytest.raises(NotImplementedError):
+        decode_tiff(build_tiff(
+            gray_tags(2, 2, 2, over={339: (3, [2])}), [pix]))
