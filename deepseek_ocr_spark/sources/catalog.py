@@ -115,3 +115,57 @@ _NO_ICEBERG_MSG = (
     "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages "
     "and configure a catalog (spark.sql.catalog.*) — see docs/ICEBERG.md"
 )
+
+
+def load_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC drop → input_hint shape.  ORC is a Spark built-in (no extra
+    jar): predicate pushdown and column pruning reach the reader the
+    same way they do for parquet, so downstream plans are
+    format-agnostic.  Columns are aligned by NAME to the documents
+    schema; extras are dropped, absences come back NULL-typed."""
+    raw = spark.read.orc(path)
+    cols = set(raw.columns)
+    want = [
+        ("url", "string"), ("warc_ts", "timestamp"),
+        ("html", "binary"), ("text", "string"), ("lang", "string"),
+    ]
+    return raw.select(
+        *[
+            F.col(n).cast(t).alias(n) if n in cols
+            else F.lit(None).cast(t).alias(n)
+            for n, t in want
+        ]
+    )
+
+
+def write_documents_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default codec) — the columnar-sink sibling of the
+    parquet writers; partitioning/bucketing compose exactly as for
+    parquet since both ride the same FileFormat machinery."""
+    df.write.mode(mode).orc(path)
+
+
+def load_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV drop → input_hint shape, PERMISSIVE like the JSONL reader:
+    malformed lines land in ``_corrupt_record`` for quarantine instead
+    of failing the scan (html arrives text-typed in CSV and is encoded
+    to binary here)."""
+    schema = (
+        "url string, warc_ts timestamp, html string, text string, "
+        "lang string, _corrupt_record string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return raw.select(
+        "url",
+        "warc_ts",
+        F.encode(F.coalesce(F.col("html"), F.lit("")), "UTF-8").alias("html"),
+        "text",
+        "lang",
+        "_corrupt_record",
+    )

@@ -204,3 +204,43 @@ def test_run_extract_from_warc_dir(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["url"] == "http://w.example/j1"
     assert "Warc Ingestion Body Text" in rows[0]["text"]
     assert "<--- Page Split --->" in rows[0]["text"]
+
+
+def test_orc_source_and_sink_roundtrip(spark, tmp_path):
+    """ORC is a Spark built-in: write the documents shape, read it back
+    through the aligned loader; missing columns come back NULL."""
+    from deepseek_ocr_spark.sources.catalog import (
+        load_documents_orc,
+        write_documents_orc,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", b"<p>a</p>", "hello", "en"), ("u2", b"", None, None)],
+        "url string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.expr("timestamp'2025-03-01 00:00:00'"))
+    p = str(tmp_path / "docs_orc")
+    write_documents_orc(df, p)
+    back = load_documents_orc(spark, p)
+    assert back.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = {r["url"]: r for r in back.collect()}
+    assert bytes(rows["u1"]["html"]) == b"<p>a</p>"
+    assert rows["u2"]["text"] is None
+    # absent column → NULL-typed: drop one column and reload
+    write_documents_orc(df.drop("lang"), p + "2")
+    assert load_documents_orc(spark, p + "2").select("lang").distinct().collect()[0][0] is None
+
+
+def test_csv_source_permissive(spark, tmp_path):
+    from deepseek_ocr_spark.sources.catalog import load_documents_csv
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "url,warc_ts,html,text,lang\n"
+        'u1,2025-03-01T00:00:00,"<p>x</p>",t1,en\n'
+        "u2,not-a-timestamp-at-all,bad row that still lands,,\n"
+    )
+    df = load_documents_csv(spark, str(p))
+    rows = {r["url"]: r for r in df.collect()}
+    assert bytes(rows["u1"]["html"]) == b"<p>x</p>"
+    assert rows["u1"]["lang"] == "en"
+    assert rows["u2"]["warc_ts"] is None  # malformed field nulled, row kept
