@@ -41,6 +41,28 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Bit-identical to ``_dot`` for arrays of exactly ``dim`` elements,
+    spelled as a fixed-width expression chain: the same 0.0 seed and the
+    same left-to-right double additions, so IEEE semantics are unchanged —
+    but the chain compiles under whole-stage codegen instead of running
+    the interpreted ``aggregate``/``zip_with`` fold per row/pair (guide
+    §4.1: prefer built-in expressions; measured r8: the interpreted fold
+    dominated ann_ivf_topk_all's per-pair cost)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * b[i].cast("double")
+    return acc
+
+
+def _norm_fixed(a: Column, dim: int) -> Column:
+    """``_norm`` as a fixed-width codegen chain (see _dot_fixed)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a[i].cast("double") * a[i].cast("double")
+    return F.sqrt(acc)
+
+
 def _fetch_embedding(emb: DataFrame, query_vec_id: int) -> list[float]:
     """One pushed-down 1-row lookup job; float32 → Python float is exact,
     so downstream double arithmetic is bit-identical to reading the row
@@ -287,7 +309,9 @@ def _scored_against_centroids(
         )
     )
     e, c = F.col("embedding"), F.col("cvec")
-    cos = _dot(e, c) / (_norm(e) * _norm(c))
+    # fixed-dim codegen chain — bit-identical to the _dot/_norm folds
+    # (same seed, same add order), ~an order of magnitude cheaper per row
+    cos = _dot_fixed(e, c, dim) / (_norm_fixed(e, dim) * _norm_fixed(c, dim))
     return emb.crossJoin(cent_df).select(
         "vec_id", "centroid_id", F.round(cos, 6).alias("ccos")
     )
@@ -771,29 +795,66 @@ def ann_ivf_topk_all(
     )
     if assignments is None:
         assignments = ivf_assignments(emb, n_centroids, dim)
+    # Pair-join parallelism (r8, guide §2.5): centroid_id alone has only
+    # n_centroids distinct values, so the pair-scoring stage — where ~all
+    # of this operator's work happens — would run on at most n_centroids
+    # tasks (and AQE's byte-based coalescing would shrink even that: the
+    # shuffle is byte-light but compute-heavy). Deterministic salting
+    # spreads it: the probe side keyed by pmod(xxhash64(vec_id), S), the
+    # index side replicated S ways (the smaller side — one row per vector
+    # vs n_probe), so every same-bucket pair still meets exactly once.
+    # S scales with the session's shuffle partitions (scale-adaptive, not
+    # a local[32] constant); the explicit REPARTITION_BY_NUM on both join
+    # inputs pins the layout against AQE coalescing (CLAUDE.md r2 rule).
+    n_part = int(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    n_salt = max(1, min(64, (8 * n_part) // n_centroids))
     # norms HOISTED onto each join input: projections materialize at the
-    # centroid_id exchange, so each vector's norm is computed once per ROW
-    # (n per side) instead of once per PAIR (sum |bucket|² — measured 12.5 s
-    # vs 4.7 s at sf0.1 with the norms inside the pair expression; the
-    # interpreted fold lambdas are the cost, the same class as the r6
-    # element_at-hoisting rule)
-    left = probes.join(emb, "vec_id").select(
-        F.col("vec_id"),
-        F.col("centroid_id"),
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
+    # exchange, so each vector's norm is computed once per ROW (n per
+    # side) instead of once per PAIR (sum |bucket|² — measured 12.5 s vs
+    # 4.7 s at sf0.1 with the norms inside the pair expression)
+    left = (
+        probes.join(emb, "vec_id")
+        .select(
+            F.col("vec_id"),
+            F.col("centroid_id"),
+            F.col("embedding").alias("qe"),
+            _norm_fixed(F.col("embedding"), dim).alias("qn"),
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_salt))
+            .cast("int")
+            .alias("_salt"),
+        )
+        .repartition(n_part, "centroid_id", "_salt")
     )
-    right = assignments.join(emb, "vec_id").select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("centroid_id"),
-        F.col("embedding").alias("ce"),
-        _norm(F.col("embedding")).alias("cn"),
+    right = (
+        assignments.join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("centroid_id"),
+            F.col("embedding").alias("ce"),
+            _norm_fixed(F.col("embedding"), dim).alias("cn"),
+        )
+        .withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        .repartition(n_part, "centroid_id", "_salt")
     )
-    pairs = left.join(right, "centroid_id").filter(
-        F.col("vec_id") != F.col("cand_id")
-    )
+    # shuffled-hash join (guide §3.1): both sides are already partitioned
+    # by the join key, the build side (probe rows, ~MBs per partition
+    # under the salt split) is small and bounded, and skipping the
+    # sort-merge sort saved ~30% of the pair stage at the x10 probe
+    # (11.8 s vs 16.6 s)
+    pairs = left.hint("shuffle_hash").join(
+        right, ["centroid_id", "_salt"]
+    ).filter(F.col("vec_id") != F.col("cand_id"))
+    # fixed-dim codegen chain for the per-pair dot — bit-identical to the
+    # interpreted fold (same seed/order), measured r8: the fold was the
+    # dominant cost at driver scale (sf1.0: 138.7 s for this one row)
     cos = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+        _dot_fixed(F.col("qe"), F.col("ce"), dim)
+        / (F.col("qn") * F.col("cn")),
+        4,
     )
     scored_pairs = pairs.select("vec_id", "cand_id", cos.alias("cos"))
     if k == 1:
@@ -898,7 +959,7 @@ def semantic_pairs(
         "vec_id",
         "centroid_id",
         F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
+        _norm_fixed(F.col("embedding"), dim).alias("qn"),
     )
     right = left.select(
         F.col("vec_id").alias("cand_id"),
@@ -906,8 +967,11 @@ def semantic_pairs(
         F.col("qe").alias("ce"),
         F.col("qn").alias("cn"),
     )
+    # fixed-dim codegen chain — bit-identical to the fold (see _dot_fixed)
     cos = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 4
+        _dot_fixed(F.col("qe"), F.col("ce"), dim)
+        / (F.col("qn") * F.col("cn")),
+        4,
     )
     return (
         left.join(right, "centroid_id")

@@ -30,6 +30,16 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # HotSpot refuses to JIT methods over 8000 bytecodes
+        # (DontCompileHugeMethods), so a whole-stage-codegen method past
+        # that limit runs in the bytecode interpreter — measured r8: the
+        # unrolled fixed-dim cosine chain in ann_ivf_topk_all was 13x
+        # SLOWER under one giant non-JITable method (210 s vs 16 s at the
+        # x10 probe). Aligning Spark's fallback threshold with the JIT's
+        # makes oversized stages fall back to split per-expression codegen
+        # (small, JIT-able methods). JVM-rational at every scale — any
+        # method past 8000 bytecodes is interpreted today regardless.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # micro-batch size for iterator pandas UDFs — the max_num_seqs analog
         # (measured: 1024 ≈ 4096 > 256 by ~8% on the extraction stage; a GPU
