@@ -272,13 +272,14 @@ DSIR_BUCKETS = 10_000  # deployable default (the paper's 10^4 hash
 # so the DuckDB oracle can mirror it
 
 
-def _dsir_doc_buckets(
+def _dsir_bucket_instances(
     docs: DataFrame, target_lang: str, n_buckets: int
 ) -> DataFrame:
-    """(doc_id, is_t, b, k) — per-doc hashed-n-gram bucket counts, the
-    DSIR feature table: unigram and bigram 60-bit token digests mod
-    ``n_buckets``.  One shuffle, map-side combinable; ≤ 2·tokens rows per
-    doc pre-agg, ≤ n_buckets after."""
+    """(doc_id, is_t, b) — ONE row per hashed-n-gram instance (unigram and
+    bigram 60-bit token digests mod ``n_buckets``), before any
+    aggregation.  The scoring paths consume this directly (broadcast-join
+    the model, aggregate once per doc); the fit paths count it into the
+    (doc, bucket) feature table."""
     is_t = (F.col("lang") == target_lang).alias("is_t")
     hdf = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", is_t, _token_hashes().alias("h")
@@ -296,8 +297,18 @@ def _dsir_doc_buckets(
     buckets = F.transform(
         F.concat(F.col("h"), bigrams), lambda g: (g % n_buckets).cast("bigint")
     )
+    return hdf.select("doc_id", "is_t", F.explode(buckets).alias("b"))
+
+
+def _dsir_doc_buckets(
+    docs: DataFrame, target_lang: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, is_t, b, k) — per-doc hashed-n-gram bucket counts, the
+    DSIR feature table: unigram and bigram 60-bit token digests mod
+    ``n_buckets``.  One shuffle, map-side combinable; ≤ 2·tokens rows per
+    doc pre-agg, ≤ n_buckets after."""
     return (
-        hdf.select("doc_id", "is_t", F.explode(buckets).alias("b"))
+        _dsir_bucket_instances(docs, target_lang, n_buckets)
         .groupBy("doc_id", "is_t", "b")
         .agg(F.count(F.lit(1)).alias("k"))
     )
@@ -364,13 +375,20 @@ def dsir_scores(
     corpora (or a stream) against one fitted model without refitting."""
     if fit is None:
         fit = dsir_fit(docs, target_lang=target_lang, n_buckets=n_buckets)
+    # r8: score over gram INSTANCES, not the per-(doc, bucket) count
+    # table — the model join is broadcast (map-side) either way, so the
+    # pre-aggregation bought nothing but an extra full shuffle + agg of
+    # gram-scale rows (guide §2.4).  Σ k·lrq over buckets ≡ Σ lrq over
+    # instances and Σ k ≡ count(*), both exact BIGINT sums; the one
+    # remaining doc_id agg partial-aggregates map-side to one row per doc
+    # per partition.
     return (
-        _dsir_doc_buckets(docs, target_lang, n_buckets)
+        _dsir_bucket_instances(docs, target_lang, n_buckets)
         .join(F.broadcast(fit), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum("k").cast("bigint").alias("n_feats"),
-            F.sum(F.col("k") * F.col("lrq")).alias("_sq"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("lrq").alias("_sq"),
         )
         .select(
             "doc_id",
@@ -606,17 +624,28 @@ def clf_scores(
     model without refitting.  One corpus scan + broadcast join."""
     if fit is None:
         fit = clf_fit(docs, target_lang, n_buckets, iters, step_div)
-    zq = F.sum(F.col("k") * F.col("wq")).cast("long")
+    # r8: score over gram INSTANCES plus one bias row per doc instead of
+    # the aggregated (doc, bucket, k) design matrix — the weights join is
+    # broadcast either way, so the pre-aggregation was one full shuffle +
+    # agg for nothing (same restructure as dsir_scores; Σ k·wq ≡ Σ wq
+    # over instances, Σ k ≡ count(*), exact BIGINT).
+    inst = _dsir_bucket_instances(docs, target_lang, n_buckets).select(
+        "doc_id", "b"
+    )
+    bias = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.lit(-1).cast("bigint").alias("b")
+    )
+    zq = F.sum("wq").cast("long")
     p4 = F.least(
         F.greatest(zq + F.lit(2_000_000), F.lit(0).cast("long")),
         F.lit(4_000_000).cast("long"),
     )
     return (
-        _clf_features(docs, target_lang, n_buckets)
+        inst.unionByName(bias)
         .join(F.broadcast(fit), "b")
         .groupBy("doc_id")
         .agg(
-            F.sum("k").cast("long").alias("n_feats"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
             F.round(p4.cast("double") / F.lit(4_000_000.0), 4).alias("clf_score"),
         )
     )
