@@ -761,6 +761,94 @@ SELECT vec_id, cos FROM final ORDER BY cos DESC, vec_id ASC LIMIT {k}
 
 # --- batched ANN: top-k neighbor for EVERY vector (SemDeDup shape) -----------
 
+# Safety margin for the cogroup scorer's candidate pre-filter, in raw-cos
+# units. The final ordering key is round(cos, 4) (quantum 1e-4) with
+# cand_id tie-break, and Spark's round is monotone, so the per-vector
+# winner always satisfies round(cos) == round(rowmax) and therefore
+# cos >= rowmax - 2e-4; keeping everything within 1e-3 of the row max is
+# a 5x-safe superset. The FINAL round + min-struct aggregation stays in
+# Spark, so selection semantics are bit-identical to the all-pairs plan.
+ANN_COS_MARGIN = 1e-3
+# right-side slab per rank-1-update pass — bounds the numpy pair matrix
+# at len(left_group) x ANN_SCORE_CHUNK doubles per task
+ANN_SCORE_CHUNK = 8192
+
+
+def _ann_group_score_fn(margin: float = ANN_COS_MARGIN):
+    """Per-(centroid_id, salt) cogroup scorer: raw cosine of every
+    (probe row x index row) pair of the group in numpy, emitting only the
+    candidates within ``margin`` of each probe row's max (see
+    ANN_COS_MARGIN — a provable superset of the per-vector winners).
+
+    Bit-parity discipline: float32 -> float64 casts, then the SAME
+    left-to-right accumulation order as the _dot_fixed/_norm_fixed chains
+    — one rank-1 update per dimension (acc += q[:,i]*c[:,i] elementwise,
+    np.outer is a pure ufunc, no FMA/BLAS reassociation) — so every pair's
+    raw cos is the exact double the JVM expression computes. NaN guard:
+    a NaN anywhere in a row (zero-norm embedding) keeps ALL of that row's
+    non-self candidates, so the Spark-side aggregation sees exactly what
+    the all-pairs plan would."""
+
+    def score(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "cand_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        q = np.stack(
+            [np.asarray(x, dtype=np.float32) for x in left["qe"]]
+        ).astype(np.float64)
+        c = np.stack(
+            [np.asarray(x, dtype=np.float32) for x in right["ce"]]
+        ).astype(np.float64)
+        lids = left["vec_id"].to_numpy()
+        rids = right["cand_id"].to_numpy()
+        qn = np.zeros(len(q))
+        cn = np.zeros(len(c))
+        for i in range(q.shape[1]):
+            qn += q[:, i] * q[:, i]
+        for i in range(c.shape[1]):
+            cn += c[:, i] * c[:, i]
+        qn, cn = np.sqrt(qn), np.sqrt(cn)
+        outs = []
+        for lo in range(0, len(c), ANN_SCORE_CHUNK):
+            hi = min(lo + ANN_SCORE_CHUNK, len(c))
+            cc = c[lo:hi]
+            acc = np.zeros((len(q), hi - lo))
+            for i in range(q.shape[1]):
+                acc += np.outer(q[:, i], cc[:, i])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / np.outer(qn, cn[lo:hi])
+            nonself = lids[:, None] != rids[None, lo:hi]
+            cosm = np.where(nonself, cos, -np.inf)
+            with np.errstate(invalid="ignore"):
+                rowmax = cosm.max(axis=1) if cosm.size else np.array([])
+            keep = (cosm >= rowmax[:, None] - margin) & nonself
+            nanrows = np.isnan(cosm).any(axis=1)
+            if nanrows.any():
+                keep |= nanrows[:, None] & nonself
+            li, ri = np.nonzero(keep)
+            if len(li):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": lids[li].astype("int64"),
+                            "cand_id": rids[lo:hi][ri].astype("int64"),
+                            "cos": cos[li, ri],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return score
+
 
 def ann_ivf_topk_all(
     emb: DataFrame,
@@ -788,14 +876,25 @@ def ann_ivf_topk_all(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id")
     )
-    probes = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probe)
-        .select("vec_id", "centroid_id")
+    probed = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= n_probe
     )
+    probes = probed.select("vec_id", "centroid_id")
     if assignments is None:
-        assignments = ivf_assignments(emb, n_centroids, dim)
-    # Pair-join parallelism (r8, guide §2.5): centroid_id alone has only
+        # rn = 1 of the SAME probe window ≡ ivf_assignments' min-struct
+        # argmax (identical ccos ordering and centroid tie-break — the
+        # DuckDB oracle defines assignments exactly this way), so both
+        # consumers share one corpus×centroid scoring + window instead of
+        # scoring the corpus twice (r8, guide §2.4 — measured: the two
+        # subtrees did not reuse an exchange)
+        # the re-aliasing is load-bearing: both pair-join sides descend
+        # from `probed`, and without fresh expression ids the analyzer
+        # rejects the join as an ambiguous self-join
+        assignments = probed.filter(F.col("rn") == 1).select(
+            F.col("vec_id").alias("vec_id"),
+            F.col("centroid_id").alias("centroid_id"),
+        )
+    # Pair-stage parallelism (r8, guide §2.5): centroid_id alone has only
     # n_centroids distinct values, so the pair-scoring stage — where ~all
     # of this operator's work happens — would run on at most n_centroids
     # tasks (and AQE's byte-based coalescing would shrink even that: the
@@ -804,16 +903,80 @@ def ann_ivf_topk_all(
     # index side replicated S ways (the smaller side — one row per vector
     # vs n_probe), so every same-bucket pair still meets exactly once.
     # S scales with the session's shuffle partitions (scale-adaptive, not
-    # a local[32] constant); the explicit REPARTITION_BY_NUM on both join
+    # a local[32] constant); the explicit REPARTITION_BY_NUM on both
     # inputs pins the layout against AQE coalescing (CLAUDE.md r2 rule).
     n_part = int(
         emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     n_salt = max(1, min(64, (8 * n_part) // n_centroids))
-    # norms HOISTED onto each join input: projections materialize at the
-    # exchange, so each vector's norm is computed once per ROW (n per
-    # side) instead of once per PAIR (sum |bucket|² — measured 12.5 s vs
-    # 4.7 s at sf0.1 with the norms inside the pair expression)
+    salt = F.pmod(F.xxhash64("vec_id"), F.lit(n_salt)).cast("int")
+    if k == 1:
+        # k=1 (the SemDeDup/registry lane): pairs are never materialized
+        # in the JVM at all — each (centroid, salt) cogroup hands its
+        # probe rows and index rows to numpy as Arrow batches (guide
+        # §4.2) and the rank-1-update scorer emits only the candidates
+        # within ANN_COS_MARGIN of each vector's row max (a provable
+        # superset of the winners — see the margin note above); the
+        # round(…,4) + min-struct aggregation stays in Spark, so the
+        # result is bit-identical to the all-pairs plan (verified
+        # exactly-equal at sf0.1 and the x10 probe). Per-task memory is
+        # O(|bucket|·dim) input + the chunked pair slab — the same
+        # bounded-bucket contract as semantic_pairs. x10 probe: 3.6 s
+        # vs 14 s for the best JVM pair plan, vs 125 s for round 7's.
+        left = (
+            probes.join(emb, "vec_id")
+            .select(
+                "vec_id",
+                "centroid_id",
+                F.col("embedding").alias("qe"),
+                salt.alias("_salt"),
+            )
+            .repartition(n_part, "centroid_id", "_salt")
+        )
+        right = (
+            assignments.join(emb, "vec_id")
+            .select(
+                F.col("vec_id").alias("cand_id"),
+                "centroid_id",
+                F.col("embedding").alias("ce"),
+            )
+            .withColumn(
+                "_salt",
+                F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
+            )
+            .repartition(n_part, "centroid_id", "_salt")
+        )
+        cand = (
+            left.groupBy("centroid_id", "_salt")
+            .cogroup(right.groupBy("centroid_id", "_salt"))
+            .applyInPandas(
+                _ann_group_score_fn(),
+                "vec_id long, cand_id long, cos double",
+            )
+        )
+        best = (
+            cand.select(
+                "vec_id", "cand_id", F.round(F.col("cos"), 4).alias("cos")
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cos")).alias("nc"),
+                        F.col("cand_id").alias("cid"),
+                    )
+                ).alias("b")
+            )
+        )
+        return best.select(
+            "vec_id",
+            F.col("b.cid").alias("nn_vec_id"),
+            (-F.col("b.nc")).alias("cos"),
+        )
+    # k > 1 (window lane): salted shuffled-hash pair join with the
+    # fixed-dim codegen cosine chain — norms HOISTED onto each join input
+    # (once per ROW, not per pair: measured 12.5 s vs 4.7 s at sf0.1 with
+    # the norms inside the pair expression)
     left = (
         probes.join(emb, "vec_id")
         .select(
@@ -821,9 +984,7 @@ def ann_ivf_topk_all(
             F.col("centroid_id"),
             F.col("embedding").alias("qe"),
             _norm_fixed(F.col("embedding"), dim).alias("qn"),
-            F.pmod(F.xxhash64("vec_id"), F.lit(n_salt))
-            .cast("int")
-            .alias("_salt"),
+            salt.alias("_salt"),
         )
         .repartition(n_part, "centroid_id", "_salt")
     )
@@ -840,36 +1001,15 @@ def ann_ivf_topk_all(
         )
         .repartition(n_part, "centroid_id", "_salt")
     )
-    # shuffled-hash join (guide §3.1): both sides are already partitioned
-    # by the join key, the build side (probe rows, ~MBs per partition
-    # under the salt split) is small and bounded, and skipping the
-    # sort-merge sort saved ~30% of the pair stage at the x10 probe
-    # (11.8 s vs 16.6 s)
     pairs = left.hint("shuffle_hash").join(
         right, ["centroid_id", "_salt"]
     ).filter(F.col("vec_id") != F.col("cand_id"))
-    # fixed-dim codegen chain for the per-pair dot — bit-identical to the
-    # interpreted fold (same seed/order), measured r8: the fold was the
-    # dominant cost at driver scale (sf1.0: 138.7 s for this one row)
     cos = F.round(
         _dot_fixed(F.col("qe"), F.col("ce"), dim)
         / (F.col("qn") * F.col("cn")),
         4,
     )
     scored_pairs = pairs.select("vec_id", "cand_id", cos.alias("cos"))
-    if k == 1:
-        best = scored_pairs.groupBy("vec_id").agg(
-            F.min(
-                F.struct(
-                    (-F.col("cos")).alias("nc"), F.col("cand_id").alias("cid")
-                )
-            ).alias("b")
-        )
-        return best.select(
-            "vec_id",
-            F.col("b.cid").alias("nn_vec_id"),
-            (-F.col("b.nc")).alias("cos"),
-        )
     wk = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("cand_id")
     )
