@@ -165,7 +165,14 @@ N_HYPERPLANES = 4
 def _hyperplane_sign(e: Column, plane: int, dim: int) -> Column:
     """Deterministic pseudo-hyperplane: component i has sign
     (-1)^floor(i*(plane+2)/3) — a fixed ±1 pattern derived from the index,
-    identical in SQL. Sign bit = (dot(e, plane) >= 0)."""
+    identical in SQL. Sign bit = (dot(e, plane) >= 0).
+
+    Deliberately the interpreted fold, NOT an unrolled chain: measured r8
+    x10 A/B, 8 unrolled planes (512 Add terms in one stage) ran 4x SLOWER
+    than the fold (3.07 s vs 0.78 s) — past the JIT's huge-method limit a
+    giant interpreted Add tree loses to the fold's small hot lambdas.
+    The unrolled chain only wins with ONE fixed-dim expression per stage
+    (the ann pair cosine)."""
     proj = F.aggregate(
         F.zip_with(
             e,

@@ -235,4 +235,16 @@ def annotated_pdf_docs(pages_df: DataFrame, extracted: DataFrame) -> DataFrame:
         .select("url", "page_no", "png", "boxes_json")
         .mapInPandas(_prep_batches, _PAGE_SCHEMA)
     )
-    return prepped.groupBy("url").applyInPandas(_assemble, PDF_DOC_SCHEMA)
+    # explicit REPARTITION_BY_NUM before the per-doc Python binder (the
+    # CLAUDE.md r2 rule): the url exchange is byte-light relative to the
+    # binder's compute, and AQE's byte-based coalescing was folding the
+    # assembly stage onto a handful of tasks (r8 x10 probe: the binder
+    # stage dominated the sink at ~2.2 s on ~3 coalesced partitions)
+    n_part = int(
+        prepped.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return (
+        prepped.repartition(n_part, "url")
+        .groupBy("url")
+        .applyInPandas(_assemble, PDF_DOC_SCHEMA)
+    )
