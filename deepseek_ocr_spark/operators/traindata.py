@@ -150,8 +150,15 @@ def contamination_flags(
     assert n == NGRAM_N, "gram width is baked into the shared digest exprs"
     is_bench = F.col("doc_id") % bench_mod == 0
     hdf = docs.select("doc_id", _token_hashes().alias("h"))
+    # r8: within-doc dedup happens IN-ROW (array_distinct over the digest
+    # array, map-side) before the explode, so the per-doc agg is a plain
+    # count instead of a two-phase countDistinct — n_hits counts distinct
+    # shared grams either way (count over per-doc-distinct instances ≡
+    # countDistinct over raw instances), and the bench-side global
+    # distinct is unchanged by per-doc pre-dedup.
     grams = hdf.select(
-        "doc_id", F.explode(_gram_digest_exprs(F.col("h"))).alias("g")
+        "doc_id",
+        F.explode(F.array_distinct(_gram_digest_exprs(F.col("h")))).alias("g"),
     )
     bench_grams = grams.filter(is_bench).select("g").distinct()
     corpus = docs.filter(~is_bench)
@@ -159,7 +166,7 @@ def contamination_flags(
         grams.filter(~is_bench)
         .join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         corpus.select("doc_id")
