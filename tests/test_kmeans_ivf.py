@@ -188,3 +188,81 @@ def test_dedup_semantic_threshold_gates_edges(spark):
     # cos(0,1) ~ 0.9 — below a 0.99 threshold nothing merges
     strict = S.dedup_semantic(emb, threshold=0.99, n_centroids=2, dim=2)
     assert all(not r["is_dup"] for r in strict.collect())
+
+
+def test_ann_ivf_topk_all_cogroup_matches_jvm_pairs(spark):
+    """r8 focused pin for the Arrow-cogroup scorer internals: on a seeded
+    corpus dense with near-ties (many vectors rounding to the same 4-dp
+    cosine, exercising the margin pre-filter + Spark-side tie-break), the
+    k=1 lane must equal an independent JVM all-pairs formulation
+    (bucket join + ordered-fold cosine + round + min-struct) row for row."""
+    from pyspark.sql import functions as F
+
+    # deterministic LCG corpus; small spread -> clusters of near-equal cos
+    rows = []
+    state = 12345
+    for vid in range(120):
+        vec = []
+        for _ in range(8):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(1.0 + ((state >> 16) % 11) / 1000.0)
+        rows.append((vid, vec))
+    emb = _emb_df(spark, rows)
+    n_centroids, dim = 4, 8
+
+    got = sorted(
+        tuple(r)
+        for r in S.ann_ivf_topk_all(
+            emb, k=1, n_centroids=n_centroids, dim=dim
+        ).collect()
+    )
+
+    # independent JVM derivation (the r7 shape): inline probes/assignments
+    # + bucket equi-join + interpreted fold cosine
+    scored = S._scored_against_centroids(emb, n_centroids, dim)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    probed = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= S.N_PROBE
+    )
+    probes = probed.select("vec_id", "centroid_id")
+    assignments = probed.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("centroid_id").alias("c2"),
+    )
+    left = probes.join(emb, "vec_id").select(
+        "vec_id", "centroid_id", F.col("embedding").alias("qe")
+    )
+    right = assignments.join(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")),
+        "cand_id",
+    )
+    pairs = left.join(right, F.col("centroid_id") == F.col("c2")).filter(
+        F.col("vec_id") != F.col("cand_id")
+    )
+    cos = F.round(
+        S._dot(F.col("qe"), F.col("ce"))
+        / (S._norm(F.col("qe")) * S._norm(F.col("ce"))),
+        4,
+    )
+    best = (
+        pairs.select("vec_id", "cand_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("nc"), F.col("cand_id").alias("cid")
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("nn_vec_id"),
+            (-F.col("b.nc")).alias("cos"),
+        )
+    )
+    want = sorted(tuple(r) for r in best.collect())
+    assert got == want
